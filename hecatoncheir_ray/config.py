@@ -1,0 +1,77 @@
+"""Engine configuration.
+
+Replaces the reference's ``g_config`` global singleton
+(/root/reference/Hecatoncheir/include/containers.h:2223-2238) with an explicit
+dataclass passed to pipeline builders.  The pipeline stage toggles mirror
+``queryPipeline`` (containers.h:1904-1909): MBRFilter / IntermediateFilter /
+Refinement — essential for testing each stage against an oracle.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# The reference's benchmark dataspace: TIGER US bounds
+# (/root/reference/Hecatoncheir/resources/config_cluster.ini,
+#  driver/driver.cpp:9-11)
+TIGER_US_BOUNDS = (-124.773, 24.5214, -66.9496, 49.3844)
+
+
+@dataclass(frozen=True)
+class GridSpec:
+    """Uniform fine grid over a dataspace.
+
+    The reference uses a two-level grid (coarse 109x109 distribution grid x
+    8x8 fine cells, config_cluster.ini [Partitioning]); under Ray Data the
+    shuffle key is the fine ``cell_id`` directly and node placement is the
+    scheduler's job, so one level suffices.  ``ppd`` = partitions per
+    dimension.
+    """
+    minx: float
+    miny: float
+    maxx: float
+    maxy: float
+    ppd: int = 128
+
+    @property
+    def cell_w(self) -> float:
+        return (self.maxx - self.minx) / self.ppd
+
+    @property
+    def cell_h(self) -> float:
+        return (self.maxy - self.miny) / self.ppd
+
+
+@dataclass
+class EngineConfig:
+    """All knobs for the spatial pipelines."""
+    # dataspace; None = compute from data (extra pass over the MBR columns)
+    dataspace: tuple[float, float, float, float] | None = None
+    ppd: int = 128
+
+    # pipeline toggles (reference containers.h:1904-1909)
+    mbr_filter: bool = True
+    intermediate_filter: bool = False     # APRIL
+    refinement: bool = True
+
+    # APRIL config (reference containers.h:66-96: N=16, uncompressed)
+    april_n: int = 16
+
+    # execution knobs
+    assign_batch_size: int = 32768        # rows per cell-assign batch
+    pair_chunk: int = 1 << 22             # max |R|x|S| bools per brute chunk
+    # hot-cell handling: split any cell whose assigned rows exceed this into
+    # sub-cells (salting preserves the reference-point dedup rule because the
+    # sub-cells partition the cell)
+    hot_cell_rows: int = 4096
+    salt_factor: int = 4                  # hot cells split salt_factor^2 ways
+
+    grid: GridSpec | None = field(default=None)
+
+    def make_grid(self, bounds=None) -> GridSpec:
+        b = self.dataspace or bounds
+        if b is None:
+            raise ValueError("dataspace bounds required (set cfg.dataspace "
+                             "or pass computed bounds)")
+        return GridSpec(*b, ppd=self.ppd)
