@@ -1,0 +1,17 @@
+"""hecatoncheir_ray — a Ray-Data-native distributed spatial engine.
+
+A from-scratch rebuild of the capabilities of ThanGeo/Hecatoncheir
+(/root/reference, read-only) on ray.data.Dataset streaming pipelines:
+grid-partitioned spatial joins (MBR filter -> APRIL intermediate filter ->
+exact DE-9IM refinement), range queries, kNN, distance joins, plus the
+training-data operators a 100 TB image+caption pipeline needs (dedup,
+similarity search, text analysis, image tiling).
+"""
+
+from .config import EngineConfig, GridSpec, TIGER_US_BOUNDS
+from .pipelines.spatial_join import (attach_payload, compute_dataspace,
+                                     detect_hot_cells, spatial_join)
+
+__all__ = ["EngineConfig", "GridSpec", "TIGER_US_BOUNDS", "spatial_join",
+           "compute_dataspace", "detect_hot_cells", "attach_payload"]
+__version__ = "0.1.0"

@@ -494,6 +494,23 @@ def relate_mbrs(r_minx, r_miny, r_maxx, r_maxy,
     return MBR_INTERSECT
 
 
+def relate_mbrs_batch(r_minx, r_miny, r_maxx, r_maxy,
+                      s_minx, s_miny, s_maxx, s_maxy, eps=1e-08) -> np.ndarray:
+    """Vectorized :func:`relate_mbrs` over aligned MBR arrays."""
+    d_xmin = np.asarray(r_minx) - s_minx
+    d_ymin = np.asarray(r_miny) - s_miny
+    d_xmax = np.asarray(r_maxx) - s_maxx
+    d_ymax = np.asarray(r_maxy) - s_maxy
+    eq = ((np.abs(d_xmin) < eps) & (np.abs(d_xmax) < eps)
+          & (np.abs(d_ymin) < eps) & (np.abs(d_ymax) < eps))
+    s_in_r = ((d_xmin <= 0) & (d_xmax >= 0) & (d_ymin <= 0) & (d_ymax >= 0))
+    r_in_s = ((d_xmin >= 0) & (d_xmax <= 0) & (d_ymin >= 0) & (d_ymax <= 0))
+    # priority: EQUAL > S_IN_R > R_IN_S > INTERSECT (MBR_CROSS is dead code)
+    return np.select([eq, s_in_r, r_in_s],
+                     [MBR_EQUAL, MBR_S_IN_R, MBR_R_IN_S],
+                     default=MBR_INTERSECT).astype(np.int8)
+
+
 def _covered_by_any(m):   # the 4 coveredBy masks, topology.cpp:12-15
     return ((m[0, 0] or m[0, 1] or m[1, 0] or m[1, 1])
             and not m[0, 2] and not m[1, 2])

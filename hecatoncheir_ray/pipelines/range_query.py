@@ -1,0 +1,77 @@
+"""Batch range queries: windows (boxes or polygons) against a dataset.
+
+Reference: range filters over the two-layer / uniform-grid indexes
+(/root/reference/Hecatoncheir/src/TwoLayer/range_filter.cpp:91-685,
+src/UniformGrid/range_filter.cpp:50-259) and batch-query broadcast
+(src/env/comm_host.cpp:755-837).  Semantics: emit object id when
+``window.intersects(object)`` (refinement::relate::refineRange,
+src/refinement/topology.cpp:377-381).
+
+Ray-Data shape (SURVEY §3 EP2): the query windows are a small broadcast
+list; ONE map_batches pass evaluates every window per block — the index's
+cell pruning becomes a vectorized per-batch MBR pre-filter.  No shuffle at
+all for COLLECT; COUNT adds a tiny groupby over (query_id).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data import Dataset
+
+from ..geometry.core import GT_POINT
+from ..geometry.fast import eval_predicate, points_in_polygon_batch
+from ..stages.assign import geoms_from_table
+
+RANGE_SCHEMA = pa.schema([("query_id", pa.int64()), ("id", pa.int64())])
+
+
+def make_range_fn(windows: list[tuple[int, int, np.ndarray]]):
+    """windows: list of (query_id, gtype, coords)."""
+    wins = [(int(q), int(gt), np.asarray(c, dtype=np.float64))
+            for q, gt, c in windows]
+    from ..geometry.core import mbr_of
+    wmbrs = [mbr_of(gt, c) for _, gt, c in wins]
+
+    def range_eval(t: pa.Table) -> pa.Table:
+        ids, gtypes, offs, vals, minx, miny, maxx, maxy = geoms_from_table(t)
+        out_q, out_id = [], []
+        all_points = bool((gtypes == GT_POINT).all()) if len(gtypes) else True
+        for (qid, wgt, wc), (wx0, wy0, wx1, wy1) in zip(wins, wmbrs):
+            cand = np.nonzero((minx <= wx1) & (wx0 <= maxx)
+                              & (miny <= wy1) & (wy0 <= maxy))[0]
+            if len(cand) == 0:
+                continue
+            if all_points:
+                px = vals[offs[cand]]
+                py = vals[offs[cand] + 1]
+                keep = points_in_polygon_batch(px, py, wgt, wc) >= 0
+                hits = cand[keep]
+            else:
+                hits = [i for i in cand
+                        if eval_predicate("intersects", wgt, wc,
+                                          int(gtypes[i]),
+                                          vals[offs[i]:offs[i + 1]])]
+                hits = np.asarray(hits, dtype=np.int64)
+            out_q.append(np.full(len(hits), qid, dtype=np.int64))
+            out_id.append(ids[hits])
+        if not out_q:
+            return RANGE_SCHEMA.empty_table()
+        return pa.table({"query_id": np.concatenate(out_q),
+                         "id": np.concatenate(out_id)}, schema=RANGE_SCHEMA)
+
+    return range_eval
+
+
+def range_query(ds: Dataset, windows, mode: str = "collect") -> Dataset:
+    """Evaluate windows against ds.
+
+    mode 'collect' -> (query_id, id); 'count' -> (query_id, result_count).
+    """
+    hits = ds.map_batches(make_range_fn(windows), batch_format="pyarrow")
+    if mode == "count":
+        from ray.data.aggregate import Count
+        return hits.groupby("query_id").aggregate(
+            Count(alias_name="result_count"))
+    return hits

@@ -1,0 +1,122 @@
+"""Partitioned spatial join — the engine's core pipeline.
+
+Physical shape (SURVEY.md §3 EP1 rebuild):
+``read -> map_batches(cell assign, replicated) -> union(R,S) ->
+groupby(cell_id) -> map_groups(MBR candidates + dedup + refine) -> pairs``.
+
+One all-to-all shuffle total (the groupby); the reference's partition +
+buildIndex + query phases (MPI batch shipping, per-node TwoLayerIndex,
+OpenMP sweeps — src/env/partitioning.cpp, src/containers.cpp:930-1089,
+src/TwoLayer/*.cpp) collapse into it.
+
+Scale levers:
+* ``cfg.ppd`` sizes shuffle groups (the reference's ppdNum=872 analog).
+* hot-cell salting (``detect_hot_cells`` + salted assignment) caps group
+  size under skew; dedup still exact (grid.ref_point_key).
+* only geometry columns ride the shuffle — payload columns are re-attached
+  by id afterwards if needed (attach_payload).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import ray.data
+from ray.data import Dataset
+from ray.data.aggregate import Max, Min
+
+from ..config import EngineConfig
+from ..stages.assign import GEOM_COLS, make_assign_fn
+from ..stages.sweep import make_join_kernel
+
+PREDICATES = ("intersects", "inside", "disjoint", "equal", "meet",
+              "contains", "covers", "covered_by", "find_relation")
+
+
+def compute_dataspace(*datasets: Dataset) -> tuple[float, float, float, float]:
+    """Global bounds via Min/Max aggregation over the MBR columns.
+
+    Reference: the metadata scan + OpenMP min/max reduction
+    (src/env/partitioning.cpp:119-199) and
+    DatasetOptions::updateDataspace (union of R,S dataspaces).
+    Costs one streaming pass over 4 columns per dataset.
+    """
+    minx = miny = np.inf
+    maxx = maxy = -np.inf
+    for ds in datasets:
+        agg = ds.select_columns(["minx", "miny", "maxx", "maxy"]).aggregate(
+            Min("minx", alias_name="minx"), Min("miny", alias_name="miny"),
+            Max("maxx", alias_name="maxx"), Max("maxy", alias_name="maxy"))
+        minx = min(minx, agg["minx"])
+        miny = min(miny, agg["miny"])
+        maxx = max(maxx, agg["maxx"])
+        maxy = max(maxy, agg["maxy"])
+    # widen a hair so max-edge points fall inside the last cell
+    w = max(maxx - minx, 1e-9) * 1e-9
+    h = max(maxy - miny, 1e-9) * 1e-9
+    return (minx - w, miny - h, maxx + w, maxy + h)
+
+
+def detect_hot_cells(r: Dataset, s: Dataset, cfg: EngineConfig,
+                     grid) -> np.ndarray:
+    """Cheap pre-pass: per-cell replicated-row counts -> cells above
+    cfg.hot_cell_rows.  Streams only the 4 MBR columns; the histogram is
+    merged driver-side (ppd^2 ints)."""
+    from ..grid import explode_cells
+
+    ncell = grid.ppd * grid.ppd
+
+    def hist(batch):
+        import pyarrow as pa
+        minx = batch["minx"].to_numpy(zero_copy_only=False)
+        _, cells = explode_cells(grid, minx,
+                                 batch["miny"].to_numpy(zero_copy_only=False),
+                                 batch["maxx"].to_numpy(zero_copy_only=False),
+                                 batch["maxy"].to_numpy(zero_copy_only=False))
+        h = np.bincount(cells, minlength=ncell)
+        return pa.table({"h": pa.array([h.astype(np.int64)])})
+
+    total = np.zeros(ncell, dtype=np.int64)
+    for side in (r, s):
+        part = side.select_columns(["minx", "miny", "maxx", "maxy"]) \
+            .map_batches(hist, batch_format="pyarrow")
+        for b in part.iter_batches(batch_format="pyarrow"):
+            for row in b["h"].to_pylist():
+                total += np.asarray(row)
+    return np.nonzero(total > cfg.hot_cell_rows)[0].astype(np.int64)
+
+
+def spatial_join(r: Dataset, s: Dataset, predicate: str = "intersects",
+                 cfg: EngineConfig | None = None,
+                 hot_cells: np.ndarray | None = None) -> Dataset:
+    """Predicate join R x S -> Dataset(r_id, s_id[, relation]).
+
+    ``predicate`` one of PREDICATES; 'find_relation' adds a ``relation:int8``
+    column (TR_* codes, geometry.predicates.TR_NAMES).
+    """
+    if predicate not in PREDICATES:
+        raise ValueError(f"unknown predicate {predicate!r}")
+    cfg = cfg or EngineConfig()
+    bounds = cfg.dataspace or compute_dataspace(r, s)
+    grid = cfg.make_grid(bounds)
+    r2 = r.select_columns(GEOM_COLS).map_batches(
+        make_assign_fn(grid, 0, hot_cells, cfg.salt_factor),
+        batch_format="pyarrow", batch_size=cfg.assign_batch_size)
+    s2 = s.select_columns(GEOM_COLS).map_batches(
+        make_assign_fn(grid, 1, hot_cells, cfg.salt_factor),
+        batch_format="pyarrow", batch_size=cfg.assign_batch_size)
+    both = r2.union(s2)
+    kernel = make_join_kernel(cfg, grid, predicate, hot_cells)
+    return both.groupby("cell_id").map_groups(kernel, batch_format="pyarrow")
+
+
+def attach_payload(pairs: Dataset, payload: Dataset, pair_key: str,
+                   payload_key: str, columns: list[str]) -> Dataset:
+    """Re-attach (wide) payload columns to join results by id.
+
+    The join shuffle moves only geometry; image bytes / captions etc. are
+    joined back here (hash join on the key).  SURVEY.md §7.4 'wide rows'.
+    """
+    return pairs.join(payload.select_columns([payload_key] + columns),
+                      join_type="inner", num_partitions=32,
+                      on=(pair_key,), right_on=(payload_key,))

@@ -1,0 +1,118 @@
+"""End-to-end spatial join vs a brute-force O(n^2) oracle (FIXTURES.md §4).
+
+The oracle evaluates every (r,s) pair with the per-pair predicate evaluator
+(unit-tested independently in test_geometry.py); the pipeline must produce
+the identical sorted pair set for every predicate and type pairing, with the
+intermediate stages toggled on and off.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from hecatoncheir_ray import EngineConfig, spatial_join
+from hecatoncheir_ray.geometry import TR_NAMES, eval_predicate, find_relation
+from hecatoncheir_ray.geometry.predicates import relate_mbrs
+from hecatoncheir_ray.sources.synth import table_layer
+
+BOUNDS = (0.0, 0.0, 100.0, 50.0)
+
+
+def _oracle_pairs(tr: pa.Table, ts: pa.Table, predicate: str):
+    """Brute force: all pairs with overlapping MBRs -> refined set."""
+    out = []
+    r = tr.to_pylist()
+    s = ts.to_pylist()
+    for a in r:
+        for b in s:
+            if (a["minx"] > b["maxx"] or b["minx"] > a["maxx"]
+                    or a["miny"] > b["maxy"] or b["miny"] > a["maxy"]):
+                continue
+            ca = np.asarray(a["coords"])
+            cb = np.asarray(b["coords"])
+            if predicate == "find_relation":
+                mc = relate_mbrs(a["minx"], a["miny"], a["maxx"], a["maxy"],
+                                 b["minx"], b["miny"], b["maxx"], b["maxy"])
+                rel = find_relation(a["gtype"], ca, b["gtype"], cb, mc)
+                out.append((a["id"], b["id"], rel))
+            elif eval_predicate(predicate, a["gtype"], ca, b["gtype"], cb):
+                out.append((a["id"], b["id"]))
+    return sorted(out)
+
+
+def _run_join(tr, ts, predicate, **cfg_kw):
+    cfg = EngineConfig(dataspace=BOUNDS, ppd=8, **cfg_kw)
+    pairs = spatial_join(rd.from_arrow(tr), rd.from_arrow(ts),
+                         predicate, cfg)
+    rows = pairs.take_all()
+    if predicate == "find_relation":
+        return sorted((r["r_id"], r["s_id"], r["relation"]) for r in rows)
+    return sorted((r["r_id"], r["s_id"]) for r in rows)
+
+
+POLY_KW = dict(bounds=BOUNDS, min_edge=2.0, max_edge=12.0, min_v=4, max_v=12)
+
+
+@pytest.mark.parametrize("predicate", ["intersects", "inside", "contains",
+                                       "covered_by", "covers", "disjoint",
+                                       "meet", "equal", "find_relation"])
+def test_poly_poly_join_vs_oracle(ray_session, predicate):
+    tr = table_layer("polygons", 120, seed=7, **POLY_KW)
+    ts = table_layer("polygons", 120, seed=8, **POLY_KW)
+    assert _run_join(tr, ts, predicate) == _oracle_pairs(tr, ts, predicate)
+
+
+def test_point_poly_join_vs_oracle(ray_session):
+    tp = table_layer("points", 400, seed=9, bounds=BOUNDS)
+    ts = table_layer("polygons", 80, seed=10, **POLY_KW)
+    for predicate in ["intersects", "inside", "covered_by"]:
+        assert _run_join(tp, ts, predicate) == _oracle_pairs(tp, ts, predicate)
+    # reversed: polygon contains point
+    for predicate in ["contains", "covers", "intersects"]:
+        assert _run_join(ts, tp, predicate) == _oracle_pairs(ts, tp, predicate)
+
+
+def test_poly_line_join_vs_oracle(ray_session):
+    tl = table_layer("linestrings", 100, seed=11, bounds=BOUNDS,
+                     min_v=2, max_v=8, step=2.0)
+    ts = table_layer("polygons", 80, seed=12, **POLY_KW)
+    for predicate in ["intersects", "contains", "find_relation"]:
+        assert _run_join(ts, tl, predicate) == _oracle_pairs(ts, tl, predicate)
+
+
+def test_mbr_only_superset(ray_session):
+    """Stage-equivalence (SURVEY §5): MBR-only output ⊇ refined output."""
+    tr = table_layer("polygons", 100, seed=13, **POLY_KW)
+    ts = table_layer("polygons", 100, seed=14, **POLY_KW)
+    full = set(_run_join(tr, ts, "intersects"))
+    mbr_only = set(_run_join(tr, ts, "intersects", refinement=False))
+    assert full <= mbr_only
+
+
+def test_salting_identical_results(ray_session):
+    """Hot-cell salting must not change the result set."""
+    import ray.data as rd2
+    from hecatoncheir_ray import detect_hot_cells
+    tr = table_layer("polygons", 150, seed=15, **POLY_KW)
+    ts = table_layer("polygons", 150, seed=16, **POLY_KW)
+    base = _run_join(tr, ts, "intersects")
+    cfg = EngineConfig(dataspace=BOUNDS, ppd=8, hot_cell_rows=10)
+    grid = cfg.make_grid()
+    hot = detect_hot_cells(rd2.from_arrow(tr), rd2.from_arrow(ts), cfg, grid)
+    assert len(hot) > 0
+    pairs = spatial_join(rd2.from_arrow(tr), rd2.from_arrow(ts),
+                         "intersects", cfg, hot_cells=hot)
+    salted = sorted((r["r_id"], r["s_id"]) for r in pairs.take_all())
+    assert salted == base
+
+
+def test_auto_dataspace(ray_session):
+    tr = table_layer("polygons", 60, seed=17, **POLY_KW)
+    ts = table_layer("polygons", 60, seed=18, **POLY_KW)
+    cfg = EngineConfig(ppd=8)  # no dataspace -> computed
+    pairs = spatial_join(rd.from_arrow(tr), rd.from_arrow(ts),
+                         "intersects", cfg)
+    got = sorted((r["r_id"], r["s_id"]) for r in pairs.take_all())
+    assert got == _oracle_pairs(tr, ts, "intersects")
