@@ -1,44 +1,264 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` — flagship pipeline at sf0.001.
+``queries()`` — one callable per implemented operator (SURVEY.md §2); each
+takes ``sf_dir`` and returns a Dataset / DataFrame / pyarrow Table.
+``oracle_sql()`` — bit-matching DuckDB SQL for the SQL-expressible queries
+(geometry layers derive from the testdata tables via integer hashing written
+identically on both sides, hecatoncheir_ray/sources/derive.py).  Geometry
+queries over true polygons are not SQL-expressible without a spatial
+extension (none installable here) -> rows-only entries, with brute-force
+oracle parity covered in tests/.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 from typing import Any
+
+import numpy as np
+import pandas as pd
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from hecatoncheir_ray.config import EngineConfig, TIGER_US_BOUNDS  # noqa: E402
+from hecatoncheir_ray.geometry import GT_BOX  # noqa: E402
+from hecatoncheir_ray.geometry.predicates import TR_NAMES  # noqa: E402
+from hecatoncheir_ray.sources import derive  # noqa: E402
+from hecatoncheir_ray.sources.synth import ray_layer  # noqa: E402
+
+# widened so derived boxes (centers in TIGER bounds, half-edge <= 0.45°)
+# stay inside; cells clamp anyway, this just balances the border cells
+_B = (TIGER_US_BOUNDS[0] - 0.5, TIGER_US_BOUNDS[1] - 0.5,
+      TIGER_US_BOUNDS[2] + 0.5, TIGER_US_BOUNDS[3] + 0.5)
+
+
+def _cfg(ppd: int = 64) -> EngineConfig:
+    return EngineConfig(dataspace=_B, ppd=ppd)
+
+
+# kNN / range / distance-join parameters (mirrored literally in the SQL)
+_KNN_QUERIES = [(0, -100.0, 35.0), (1, -80.0, 40.0)]
+_KNN_K = 5
+_RANGE_WINDOWS = [(0, -105.0, 30.0, -95.0, 38.0),
+                  (1, -75.0, 40.0, -70.0, 45.0),
+                  (2, -200.0, 0.0, -190.0, 1.0)]   # empty window
+_DJ_D = 0.35
+
+_POLY_KW = dict(min_edge=0.3, max_edge=1.5, min_v=5, max_v=16)
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship at sf0.001: geotag points (from events) x region boxes (from
+    orders), covered_by join -> pairs Dataset."""
+    from hecatoncheir_ray import spatial_join
+    sf_dir = "/root/testdata/sf0.001"
+    pts = derive.ray_points_events(sf_dir)
+    boxes = derive.ray_boxes_orders(sf_dir)
+    return spatial_join(pts, boxes, "covered_by", _cfg(ppd=32))
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_box_join_pairs(sf_dir: str):
+    from hecatoncheir_ray import spatial_join
+    return spatial_join(derive.ray_boxes_orders(sf_dir),
+                        derive.ray_boxes_part(sf_dir),
+                        "intersects", _cfg())
+
+
+def _q_box_join_count(sf_dir: str):
+    n = _q_box_join_pairs(sf_dir).count()
+    return pd.DataFrame({"pair_count": np.array([n], dtype=np.int64)})
+
+
+def _q_point_in_box_pairs(sf_dir: str):
+    from hecatoncheir_ray import spatial_join
+    return spatial_join(derive.ray_points_events(sf_dir),
+                        derive.ray_boxes_part(sf_dir),
+                        "covered_by", _cfg())
+
+
+def _q_box_find_relation_counts(sf_dir: str):
+    import pyarrow as pa
+    from ray.data.aggregate import Count
+    from hecatoncheir_ray import spatial_join
+    rel = spatial_join(derive.ray_boxes_orders(sf_dir),
+                       derive.ray_boxes_part(sf_dir),
+                       "find_relation", _cfg())
+
+    def name(batch: pa.Table) -> pa.Table:
+        r = batch["relation"].to_numpy(zero_copy_only=False)
+        names = np.array([TR_NAMES[int(v)] for v in r])
+        return pa.table({"relation_name": pa.array(names)})
+
+    return rel.map_batches(name, batch_format="pyarrow") \
+        .groupby("relation_name").aggregate(Count(alias_name="pair_count"))
+
+
+def _q_range_count_points(sf_dir: str):
+    from hecatoncheir_ray.pipelines.range_query import range_query
+    wins = [(qid, GT_BOX, np.array([x0, y0, x1, y1]))
+            for qid, x0, y0, x1, y1 in _RANGE_WINDOWS]
+    rows = range_query(derive.ray_points_events(sf_dir), wins,
+                       mode="count").take_all()
+    got = {r["query_id"]: r["result_count"] for r in rows}
+    return pd.DataFrame({
+        "query_id": np.array([w[0] for w in _RANGE_WINDOWS], dtype=np.int64),
+        "result_count": np.array([got.get(w[0], 0) for w in _RANGE_WINDOWS],
+                                 dtype=np.int64)})
+
+
+def _q_knn_points(sf_dir: str):
+    from hecatoncheir_ray.pipelines.knn import knn_query
+    out = knn_query(derive.ray_points_events(sf_dir), _KNN_QUERIES, _KNN_K)
+    return out.select_columns(["query_id", "id"])
+
+
+def _q_distance_join_pairs(sf_dir: str):
+    from hecatoncheir_ray.pipelines.distance_join import distance_join
+    pts = derive.ray_points_events(sf_dir)
+    return distance_join(pts, derive.ray_points_events(sf_dir), _DJ_D, _cfg())
+
+
+def _q_global_bounds(sf_dir: str):
+    from ray.data.aggregate import Max, Min
+    pts = derive.ray_points_events(sf_dir)
+    agg = pts.select_columns(["minx", "miny", "maxx", "maxy"]).aggregate(
+        Min("minx", alias_name="minx"), Min("miny", alias_name="miny"),
+        Max("maxx", alias_name="maxx"), Max("maxy", alias_name="maxy"))
+    return pd.DataFrame([agg])
+
+
+# --- polygon/linestring pipelines (no SQL oracle; tests/ hold the brute-
+# force parity oracle, FIXTURES.md §4) ---------------------------------------
+
+def _q_poly_join_pairs(sf_dir: str):
+    from hecatoncheir_ray import spatial_join
+    r = ray_layer("polygons", 3000, seed=1, **_POLY_KW)
+    s = ray_layer("polygons", 3000, seed=2, **_POLY_KW)
+    return spatial_join(r, s, "intersects", _cfg())
+
+
+def _q_poly_find_relation_counts(sf_dir: str):
+    import pyarrow as pa
+    from ray.data.aggregate import Count
+    from hecatoncheir_ray import spatial_join
+    r = ray_layer("polygons", 3000, seed=1, **_POLY_KW)
+    s = ray_layer("polygons", 3000, seed=2, **_POLY_KW)
+    rel = spatial_join(r, s, "find_relation", _cfg())
+
+    def name(batch: pa.Table) -> pa.Table:
+        v = batch["relation"].to_numpy(zero_copy_only=False)
+        return pa.table({"relation_name":
+                         pa.array([TR_NAMES[int(x)] for x in v])})
+
+    return rel.map_batches(name, batch_format="pyarrow") \
+        .groupby("relation_name").aggregate(Count(alias_name="pair_count"))
+
+
+def _q_poly_line_join_pairs(sf_dir: str):
+    from hecatoncheir_ray import spatial_join
+    p = ray_layer("polygons", 2000, seed=3, **_POLY_KW)
+    ln = ray_layer("linestrings", 2000, seed=4, min_v=2, max_v=12, step=0.2)
+    return spatial_join(p, ln, "intersects", _cfg())
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "box_join_pairs": _q_box_join_pairs,
+        "box_join_count": _q_box_join_count,
+        "point_in_box_pairs": _q_point_in_box_pairs,
+        "box_find_relation_counts": _q_box_find_relation_counts,
+        "range_count_points": _q_range_count_points,
+        "knn_points": _q_knn_points,
+        "distance_join_pairs": _q_distance_join_pairs,
+        "global_bounds": _q_global_bounds,
+        "poly_join_pairs": _q_poly_join_pairs,
+        "poly_find_relation_counts": _q_poly_find_relation_counts,
+        "poly_line_join_pairs": _q_poly_line_join_pairs,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    pts = derive.sql_points_events()
+    bo = derive.sql_boxes_orders()
+    bp = derive.sql_boxes_part()
+    overlap = ("r.minx <= s.maxx AND s.minx <= r.maxx AND "
+               "r.miny <= s.maxy AND s.miny <= r.maxy")
+    win_values = ", ".join(
+        f"({qid}, {x0!r}, {y0!r}, {x1!r}, {y1!r})"
+        for qid, x0, y0, x1, y1 in _RANGE_WINDOWS)
+    knn_values = ", ".join(f"({qid}, {x!r}, {y!r})"
+                           for qid, x, y in _KNN_QUERIES)
+    # FIND_RELATION decision tree for boxes (geometry == MBR):
+    # mirrors relate_mbrs priority (EQUAL > S_IN_R > R_IN_S > INTERSECT,
+    # topology_join_filter.cpp:38-113; MBR_CROSS is dead code) and the mask
+    # outcomes for areal pairs (boundary-touching containment -> contains/
+    # inside; overlapping boxes always II=T -> 'intersect').
+    eps = "1e-08"
+    rel_case = f"""CASE
+        WHEN abs(r.minx - s.minx) < {eps} AND abs(r.maxx - s.maxx) < {eps}
+         AND abs(r.miny - s.miny) < {eps} AND abs(r.maxy - s.maxy) < {eps}
+        THEN 'equal'
+        WHEN r.minx <= s.minx AND r.maxx >= s.maxx
+         AND r.miny <= s.miny AND r.maxy >= s.maxy THEN 'contains'
+        WHEN r.minx >= s.minx AND r.maxx <= s.maxx
+         AND r.miny >= s.miny AND r.maxy <= s.maxy THEN 'inside'
+        ELSE 'intersect' END"""
+    return {
+        "box_join_pairs": f"""
+            WITH r AS ({bo}), s AS ({bp})
+            SELECT r.id AS r_id, s.id AS s_id FROM r, s WHERE {overlap}""",
+        "box_join_count": f"""
+            WITH r AS ({bo}), s AS ({bp})
+            SELECT COUNT(*) AS pair_count FROM r, s WHERE {overlap}""",
+        "point_in_box_pairs": f"""
+            WITH p AS ({pts}), s AS ({bp})
+            SELECT p.id AS r_id, s.id AS s_id FROM p, s
+            WHERE p.x >= s.minx AND p.x <= s.maxx
+              AND p.y >= s.miny AND p.y <= s.maxy""",
+        "box_find_relation_counts": f"""
+            WITH r AS ({bo}), s AS ({bp})
+            SELECT {rel_case} AS relation_name, COUNT(*) AS pair_count
+            FROM r, s WHERE {overlap} GROUP BY 1""",
+        "range_count_points": f"""
+            WITH p AS ({pts}),
+            w(query_id, minx, miny, maxx, maxy) AS (VALUES {win_values})
+            SELECT w.query_id AS query_id, COUNT(p.id) AS result_count
+            FROM w LEFT JOIN p
+              ON p.x >= w.minx AND p.x <= w.maxx
+             AND p.y >= w.miny AND p.y <= w.maxy
+            GROUP BY w.query_id""",
+        "knn_points": f"""
+            WITH p AS ({pts}), q(query_id, qx, qy) AS (VALUES {knn_values})
+            SELECT query_id, id FROM (
+                SELECT q.query_id AS query_id, p.id AS id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY (p.x - q.qx)*(p.x - q.qx)
+                                  + (p.y - q.qy)*(p.y - q.qy), p.id) AS rn
+                FROM q, p) WHERE rn <= {_KNN_K}""",
+        "distance_join_pairs": f"""
+            WITH p AS ({pts})
+            SELECT a.id AS r_id, b.id AS s_id FROM p a, p b
+            WHERE (a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y)
+                  <= {_DJ_D!r}*{_DJ_D!r}""",
+        "global_bounds": f"""
+            WITH p AS ({pts})
+            SELECT MIN(x) AS minx, MIN(y) AS miny,
+                   MAX(x) AS maxx, MAX(y) AS maxy FROM p""",
+    }

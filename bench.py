@@ -1,0 +1,134 @@
+"""Benchmark harness (BASELINE.md): headline spatial joins at sf0.1.
+
+Prints ONE JSON line:
+{"metric": "...", "value": <total sec>, "unit": "sec",
+ "queries": {...}, "sf": ..., "num_cpus": N, "rows_per_sec": {...}}
+
+--scaling: runs the headline twice in fresh subprocesses at 8 and 32 CPUs
+and reports throughputs + scaling efficiency (the sandbox stand-in for the
+north rule's N vs 4N cluster criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# polygon layer sizing: rows tied to the sf tier via the orders table
+_POLY_KW = dict(min_edge=0.02, max_edge=0.12, min_v=5, max_v=24)
+
+
+def _table_rows(name: str) -> int:
+    import pyarrow.parquet as pq
+    return pq.read_metadata(f"{SF_DIR}/{name}.parquet").num_rows
+
+
+def run_bench() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from hecatoncheir_ray import EngineConfig, spatial_join
+    from hecatoncheir_ray.pipelines.distance_join import distance_join
+    from hecatoncheir_ray.sources import derive
+    from hecatoncheir_ray.sources.synth import ray_layer
+    from hecatoncheir_ray.config import TIGER_US_BOUNDS
+
+    n_orders = _table_rows("orders")
+    n_events = _table_rows("events")
+    bounds = (TIGER_US_BOUNDS[0] - 0.5, TIGER_US_BOUNDS[1] - 0.5,
+              TIGER_US_BOUNDS[2] + 0.5, TIGER_US_BOUNDS[3] + 0.5)
+
+    def cfg(ppd):
+        return EngineConfig(dataspace=bounds, ppd=ppd)
+
+    # warm page cache (untimed)
+    derive.ray_points_events(SF_DIR).count()
+
+    queries = {}
+    rows_per_sec = {}
+
+    # Q1: polygon x polygon intersection join (T1NA/T2NA-style headline)
+    t0 = time.time()
+    r = ray_layer("polygons", n_orders, seed=1, **_POLY_KW)
+    s = ray_layer("polygons", n_orders, seed=2, **_POLY_KW)
+    n_pairs = spatial_join(r, s, "intersects", cfg(192)).count()
+    dt = time.time() - t0
+    queries["poly_poly_join"] = round(dt, 3)
+    rows_per_sec["poly_poly_join"] = round(n_pairs / dt, 1)
+
+    # Q2: point x polygon join (point-in-polygon headline)
+    t0 = time.time()
+    pts = derive.ray_points_events(SF_DIR)
+    polys = ray_layer("polygons", n_orders, seed=2, **_POLY_KW)
+    n_pip = spatial_join(pts, polys, "intersects", cfg(192)).count()
+    dt = time.time() - t0
+    queries["point_poly_join"] = round(dt, 3)
+    rows_per_sec["point_poly_join"] = round(n_pip / dt, 1)
+
+    # Q3: box x box join over testdata-derived layers
+    t0 = time.time()
+    n_box = spatial_join(derive.ray_boxes_orders(SF_DIR),
+                         derive.ray_boxes_part(SF_DIR),
+                         "intersects", cfg(128)).count()
+    dt = time.time() - t0
+    queries["box_join"] = round(dt, 3)
+    rows_per_sec["box_join"] = round(n_box / dt, 1)
+
+    # Q4: distance join (epsilon) on event points
+    t0 = time.time()
+    n_dj = distance_join(derive.ray_points_events(SF_DIR),
+                         derive.ray_points_events(SF_DIR), 0.05,
+                         cfg(128)).count()
+    dt = time.time() - t0
+    queries["distance_join"] = round(dt, 3)
+    rows_per_sec["distance_join"] = round(n_dj / dt, 1)
+
+    total = round(sum(queries.values()), 3)
+    out = {"metric": "spatial_join_suite_seconds", "value": total,
+           "unit": "sec", "queries": queries, "rows_per_sec": rows_per_sec,
+           "result_rows": {"poly_poly_join": n_pairs,
+                           "point_poly_join": n_pip,
+                           "box_join": n_box, "distance_join": n_dj},
+           "sf": SF_DIR, "num_cpus": NUM_CPUS}
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, __file__], env=env,
+                             capture_output=True, text=True, check=True
+                             ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    t_lo, t_hi = lo["value"], hi["value"]
+    eff = (t_lo / t_hi) / (32 / 8)
+    return {"metric": "scaling_efficiency", "sec_8": t_lo, "sec_32": t_hi,
+            "value": round(eff, 3), "unit": "efficiency",
+            "queries_8": lo["queries"], "queries_32": hi["queries"],
+            "rows_per_sec_8": lo["rows_per_sec"],
+            "rows_per_sec_32": hi["rows_per_sec"], "sf": SF_DIR}
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

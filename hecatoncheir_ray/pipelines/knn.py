@@ -23,7 +23,7 @@ from ray.data import Dataset
 from ..stages.assign import geoms_from_table
 
 KNN_SCHEMA = pa.schema([("query_id", pa.int64()), ("id", pa.int64()),
-                        ("distance", pa.float64())])
+                        ("dist2", pa.float64())])
 
 
 def make_knn_fn(queries: list[tuple[int, float, float]], k: int):
@@ -36,28 +36,31 @@ def make_knn_fn(queries: list[tuple[int, float, float]], k: int):
             return KNN_SCHEMA.empty_table()
         px = vals[offs[:-1]]
         py = vals[offs[:-1] + 1]
-        # (Q, N) distance matrix
+        # (Q, N) squared-distance matrix; ranking on dist2 is bit-exact
+        # (sqrt only at the end, for display)
         dx = q[:, 0][:, None] - px[None, :]
         dy = q[:, 1][:, None] - py[None, :]
-        dist = np.hypot(dx, dy)
-        kk = min(k, dist.shape[1])
-        idx = np.argpartition(dist, kk - 1, axis=1)[:, :kk]
+        dist2 = dx * dx + dy * dy
+        kk = min(k, dist2.shape[1])
+        idx = np.argpartition(dist2, kk - 1, axis=1)[:, :kk]
         out_q = np.repeat(qids, kk)
         out_id = ids[idx.ravel()]
-        out_d = np.take_along_axis(dist, idx, axis=1).ravel()
+        out_d = np.take_along_axis(dist2, idx, axis=1).ravel()
         return pa.table({"query_id": out_q, "id": out_id,
-                         "distance": out_d}, schema=KNN_SCHEMA)
+                         "dist2": out_d}, schema=KNN_SCHEMA)
 
     return knn_local
 
 
 def knn_query(ds: Dataset, queries, k: int) -> Dataset:
     """queries: [(query_id, x, y), ...] -> (query_id, id, distance), k rows
-    per query, ordered by (distance, id) within each query."""
+    per query, ordered by (dist2, id) within each query (deterministic)."""
     local = ds.map_batches(make_knn_fn(queries, k), batch_format="pyarrow")
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["distance", "id"]).head(k)
+        g = g.sort_values(["dist2", "id"]).head(k)
+        g["distance"] = np.sqrt(g["dist2"])
+        return g[["query_id", "id", "distance"]]
 
     return local.groupby("query_id").map_groups(final_topk,
                                                 batch_format="pandas")

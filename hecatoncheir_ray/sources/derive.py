@@ -1,0 +1,183 @@
+"""Geometry layers derived deterministically from the driver's testdata
+tables, with *bit-identical* DuckDB SQL counterparts.
+
+The driver's correctness gate runs each Ray query and its oracle SQL
+side-by-side on the same parquet (TESTDATA.md) and hash-compares values.
+Every derived coordinate therefore comes from integer hashing + one float
+division + literal-constant affine math, written ONCE here and emitted both
+as numpy and as SQL text — identical IEEE-754 results in both engines.
+
+Hash family: u01(key, a, m) = (((key % 100003) * a) % m) / m   in [0, 1).
+No intermediate exceeds ~2.7e14, so BIGINT never overflows in DuckDB.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import TIGER_US_BOUNDS
+from ..geometry.core import GT_BOX, GT_POINT
+
+_M0 = 100003
+
+X0, Y0, X1, Y1 = TIGER_US_BOUNDS
+W = X1 - X0
+H = Y1 - Y0
+
+
+def u01_np(key: np.ndarray, a: int, m: int) -> np.ndarray:
+    h = ((key % _M0) * a) % m
+    return h / m
+
+
+def u01_sql(expr: str, a: int, m: int) -> str:
+    # "/ m.0" forces double division (DuckDB's / is float anyway; explicit)
+    return f"(((({expr}) % {_M0}) * {a}) % {m}) / {m}.0"
+
+
+# (a, m) pairs per attribute — distinct multipliers, prime-ish moduli
+_PT_X = (2654435761, 1000003)
+_PT_Y = (2246822519, 999983)
+_BOX_CX = (3266489917, 1000033)
+_BOX_CY = (668265263, 999979)
+_BOX_W = (374761393, 99991)
+_BOX_H = (2869860233, 99989)
+
+
+def _lit(x: float) -> str:
+    return repr(float(x))
+
+
+# ---------------------------------------------------------------------------
+# points from events
+# ---------------------------------------------------------------------------
+
+def points_np(key: np.ndarray):
+    x = X0 + u01_np(key, *_PT_X) * W
+    y = Y0 + u01_np(key, *_PT_Y) * H
+    return x, y
+
+
+def points_sql(key_expr: str) -> tuple[str, str]:
+    x = f"{_lit(X0)} + ({u01_sql(key_expr, *_PT_X)}) * {_lit(W)}"
+    y = f"{_lit(Y0)} + ({u01_sql(key_expr, *_PT_Y)}) * {_lit(H)}"
+    return x, y
+
+
+def sql_points_events() -> str:
+    """CTE body: the event-point layer as (id, x, y)."""
+    x, y = points_sql("event_id")
+    return f"SELECT event_id AS id, {x} AS x, {y} AS y FROM events"
+
+
+# ---------------------------------------------------------------------------
+# boxes from orders / part
+# ---------------------------------------------------------------------------
+
+def boxes_np(key: np.ndarray, salt: int):
+    k = key + salt
+    cx = X0 + u01_np(k, *_BOX_CX) * W
+    cy = Y0 + u01_np(k, *_BOX_CY) * H
+    hw = 0.05 + u01_np(k, *_BOX_W) * 0.4
+    hh = 0.05 + u01_np(k, *_BOX_H) * 0.4
+    return cx - hw, cy - hh, cx + hw, cy + hh
+
+
+def boxes_sql(key_expr: str, salt: int) -> tuple[str, str, str, str]:
+    k = f"{key_expr} + {salt}"
+    cx = f"{_lit(X0)} + ({u01_sql(k, *_BOX_CX)}) * {_lit(W)}"
+    cy = f"{_lit(Y0)} + ({u01_sql(k, *_BOX_CY)}) * {_lit(H)}"
+    hw = f"0.05 + ({u01_sql(k, *_BOX_W)}) * 0.4"
+    hh = f"0.05 + ({u01_sql(k, *_BOX_H)}) * 0.4"
+    return (f"({cx}) - ({hw})", f"({cy}) - ({hh})",
+            f"({cx}) + ({hw})", f"({cy}) + ({hh})")
+
+
+ORDERS_SALT = 17
+PART_SALT = 7919
+
+
+def sql_boxes_orders() -> str:
+    minx, miny, maxx, maxy = boxes_sql("o_orderkey", ORDERS_SALT)
+    return (f"SELECT o_orderkey AS id, {minx} AS minx, {miny} AS miny, "
+            f"{maxx} AS maxx, {maxy} AS maxy FROM orders")
+
+
+def sql_boxes_part() -> str:
+    minx, miny, maxx, maxy = boxes_sql("p_partkey", PART_SALT)
+    return (f"SELECT p_partkey AS id, {minx} AS minx, {miny} AS miny, "
+            f"{maxx} AS maxx, {maxy} AS maxy FROM part")
+
+
+# ---------------------------------------------------------------------------
+# Ray-side geometry tables
+# ---------------------------------------------------------------------------
+
+def _points_table(ids: np.ndarray) -> pa.Table:
+    x, y = points_np(ids)
+    flat = np.empty(2 * len(ids))
+    flat[0::2] = x
+    flat[1::2] = y
+    offs = np.arange(0, 2 * len(ids) + 1, 2, dtype=np.int32)
+    coords = pa.ListArray.from_arrays(pa.array(offs),
+                                      pa.array(flat, type=pa.float64()))
+    return pa.table({"id": pa.array(ids, type=pa.int64()),
+                     "gtype": pa.array(np.full(len(ids), GT_POINT, np.int8)),
+                     "coords": coords,
+                     "minx": pa.array(x), "miny": pa.array(y),
+                     "maxx": pa.array(x), "maxy": pa.array(y)})
+
+
+def _boxes_table(ids: np.ndarray, salt: int) -> pa.Table:
+    minx, miny, maxx, maxy = boxes_np(ids, salt)
+    flat = np.empty(4 * len(ids))
+    flat[0::4] = minx
+    flat[1::4] = miny
+    flat[2::4] = maxx
+    flat[3::4] = maxy
+    offs = np.arange(0, 4 * len(ids) + 1, 4, dtype=np.int32)
+    coords = pa.ListArray.from_arrays(pa.array(offs),
+                                      pa.array(flat, type=pa.float64()))
+    return pa.table({"id": pa.array(ids, type=pa.int64()),
+                     "gtype": pa.array(np.full(len(ids), GT_BOX, np.int8)),
+                     "coords": coords,
+                     "minx": pa.array(minx), "miny": pa.array(miny),
+                     "maxx": pa.array(maxx), "maxy": pa.array(maxy)})
+
+
+def ray_points_events(sf_dir: str):
+    """Geotag layer: one point per events row (column-pruned read)."""
+    import ray.data as rd
+
+    def build(batch: pa.Table) -> pa.Table:
+        return _points_table(
+            batch["event_id"].to_numpy(zero_copy_only=False))
+
+    return rd.read_parquet(f"{sf_dir}/events.parquet",
+                           columns=["event_id"]) \
+        .map_batches(build, batch_format="pyarrow")
+
+
+def ray_boxes_orders(sf_dir: str):
+    import ray.data as rd
+
+    def build(batch: pa.Table) -> pa.Table:
+        return _boxes_table(
+            batch["o_orderkey"].to_numpy(zero_copy_only=False), ORDERS_SALT)
+
+    return rd.read_parquet(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderkey"]) \
+        .map_batches(build, batch_format="pyarrow")
+
+
+def ray_boxes_part(sf_dir: str):
+    import ray.data as rd
+
+    def build(batch: pa.Table) -> pa.Table:
+        return _boxes_table(
+            batch["p_partkey"].to_numpy(zero_copy_only=False), PART_SALT)
+
+    return rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey"]) \
+        .map_batches(build, batch_format="pyarrow")

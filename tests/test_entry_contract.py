@@ -1,0 +1,83 @@
+"""Driver-contract parity: every queries() entry with an oracle_sql() twin
+must match DuckDB exactly (sorted rows, exact values) on testdata parquet.
+
+Mimics the driver's CORRECTNESS gate at sf0.001 (fast); the driver itself
+runs sf0.01.
+"""
+
+import importlib.util
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def entrymod():
+    spec = importlib.util.spec_from_file_location(
+        "__ray_entry__", "/root/repo/__ray_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ducksess():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF_DIR}/{t}.parquet')")
+    return con
+
+
+def _to_pandas(res):
+    import pyarrow as pa
+    from ray.data import Dataset
+    if isinstance(res, Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_all_oracle_queries_match(ray_session, entrymod, ducksess):
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    mismatches = []
+    for name, sql in oracles.items():
+        ray_df = _norm(_to_pandas(qs[name](SF_DIR)))
+        ora_df = _norm(ducksess.execute(sql).df())
+        try:
+            pd.testing.assert_frame_equal(ray_df, ora_df,
+                                          check_dtype=False,
+                                          check_exact=True)
+        except AssertionError as e:
+            mismatches.append((name, len(ray_df), len(ora_df),
+                               str(e).splitlines()[:4]))
+    assert not mismatches, mismatches
+
+
+def test_rows_only_queries_run(ray_session, entrymod):
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    for name in set(qs) - set(oracles):
+        df = _to_pandas(qs[name](SF_DIR))
+        assert len(df) >= 0
+
+
+def test_entry_smoke(ray_session, entrymod):
+    res = entrymod.entry()
+    df = _to_pandas(res)
+    assert len(df) >= 0
+    assert set(df.columns) == {"r_id", "s_id"}
