@@ -30,7 +30,6 @@ if _REPO not in sys.path:
 
 from hecatoncheir_ray.config import EngineConfig, TIGER_US_BOUNDS  # noqa: E402
 from hecatoncheir_ray.geometry import GT_BOX  # noqa: E402
-from hecatoncheir_ray.geometry.predicates import TR_NAMES  # noqa: E402
 from hecatoncheir_ray.sources import derive  # noqa: E402
 from hecatoncheir_ray.sources.synth import ray_layer  # noqa: E402
 
@@ -89,33 +88,19 @@ def _q_point_in_box_pairs(sf_dir: str):
 
 
 def _q_box_find_relation_counts(sf_dir: str):
-    import pyarrow as pa
-    from ray.data.aggregate import Count
     from hecatoncheir_ray import spatial_join
+    from hecatoncheir_ray.pipelines.spatial_join import relation_histogram
     rel = spatial_join(derive.ray_boxes_orders(sf_dir),
                        derive.ray_boxes_part(sf_dir),
                        "find_relation", _cfg())
-
-    def name(batch: pa.Table) -> pa.Table:
-        r = batch["relation"].to_numpy(zero_copy_only=False)
-        names = np.array([TR_NAMES[int(v)] for v in r])
-        return pa.table({"relation_name": pa.array(names)})
-
-    return rel.map_batches(name, batch_format="pyarrow") \
-        .groupby("relation_name").aggregate(Count(alias_name="pair_count"))
+    return relation_histogram(rel)
 
 
 def _q_range_count_points(sf_dir: str):
     from hecatoncheir_ray.pipelines.range_query import range_query
     wins = [(qid, GT_BOX, np.array([x0, y0, x1, y1]))
             for qid, x0, y0, x1, y1 in _RANGE_WINDOWS]
-    rows = range_query(derive.ray_points_events(sf_dir), wins,
-                       mode="count").take_all()
-    got = {r["query_id"]: r["result_count"] for r in rows}
-    return pd.DataFrame({
-        "query_id": np.array([w[0] for w in _RANGE_WINDOWS], dtype=np.int64),
-        "result_count": np.array([got.get(w[0], 0) for w in _RANGE_WINDOWS],
-                                 dtype=np.int64)})
+    return range_query(derive.ray_points_events(sf_dir), wins, mode="count")
 
 
 def _q_knn_points(sf_dir: str):
@@ -150,20 +135,11 @@ def _q_poly_join_pairs(sf_dir: str):
 
 
 def _q_poly_find_relation_counts(sf_dir: str):
-    import pyarrow as pa
-    from ray.data.aggregate import Count
     from hecatoncheir_ray import spatial_join
+    from hecatoncheir_ray.pipelines.spatial_join import relation_histogram
     r = ray_layer("polygons", 3000, seed=1, **_POLY_KW)
     s = ray_layer("polygons", 3000, seed=2, **_POLY_KW)
-    rel = spatial_join(r, s, "find_relation", _cfg())
-
-    def name(batch: pa.Table) -> pa.Table:
-        v = batch["relation"].to_numpy(zero_copy_only=False)
-        return pa.table({"relation_name":
-                         pa.array([TR_NAMES[int(x)] for x in v])})
-
-    return rel.map_batches(name, batch_format="pyarrow") \
-        .groupby("relation_name").aggregate(Count(alias_name="pair_count"))
+    return relation_histogram(spatial_join(r, s, "find_relation", _cfg()))
 
 
 def _q_poly_line_join_pairs(sf_dir: str):

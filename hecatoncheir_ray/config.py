@@ -61,6 +61,11 @@ class EngineConfig:
     # execution knobs
     assign_batch_size: int = 32768        # rows per cell-assign batch
     pair_chunk: int = 1 << 22             # max |R|x|S| bools per brute chunk
+    # shuffle key cardinality: fine cells are hashed into this many coarse
+    # partitions; one kernel call handles all cells of a partition.  Size to
+    # ~4-8x total cluster cores (tasks stay balanced, per-call overhead
+    # amortizes across cells).
+    shuffle_parts: int = 256
     # hot-cell handling: split any cell whose assigned rows exceed this into
     # sub-cells (salting preserves the reference-point dedup rule because the
     # sub-cells partition the cell)

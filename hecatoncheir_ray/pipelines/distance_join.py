@@ -21,9 +21,8 @@ from ray.data import Dataset
 
 from ..config import EngineConfig, GridSpec
 from ..geometry.core import GT_POINT
-from ..grid import ref_point_key
 from ..stages.assign import GEOM_COLS, geoms_from_table, make_assign_fn
-from ..stages.sweep import PAIR_SCHEMA, mbr_candidates
+from ..stages.sweep import PAIR_SCHEMA, generate_candidates
 from .spatial_join import compute_dataspace
 
 
@@ -34,33 +33,18 @@ def make_distance_kernel(cfg: EngineConfig, grid: GridSpec, d: float,
     d2 = d * d
 
     def kernel(t: pa.Table) -> pa.Table:
-        side = t["side"].to_numpy(zero_copy_only=False)
-        r_sel = np.nonzero(side == 0)[0]
-        s_sel = np.nonzero(side == 1)[0]
-        if len(r_sel) == 0 or len(s_sel) == 0:
+        geo = geoms_from_table(t)
+        ids, gtypes, offs, vals, *_ = geo
+        gri, gsi = generate_candidates(t, geo, grid, hot, cfg)
+        if len(gri) == 0:
             return PAIR_SCHEMA.empty_table()
-        cell_key = int(t["cell_id"][0].as_py())
-        ids, gtypes, offs, vals, minx, miny, maxx, maxy = geoms_from_table(t)
-        rm = np.stack([minx[r_sel], miny[r_sel],
-                       maxx[r_sel], maxy[r_sel]], axis=1)
-        sm = np.stack([minx[s_sel], miny[s_sel],
-                       maxx[s_sel], maxy[s_sel]], axis=1)
-        ri, si = mbr_candidates(rm, sm, cell_key, grid, hot,
-                                cfg.salt_factor, cfg.pair_chunk)
-        if len(ri) == 0:
-            return PAIR_SCHEMA.empty_table()
-        gri, gsi = r_sel[ri], s_sel[si]
         if not ((gtypes[gri] == GT_POINT).all()
                 and (gtypes[gsi] == GT_POINT).all()):
             raise NotImplementedError(
                 "distance join implemented for point x point (as in the "
                 "reference's uniform-grid DJ, dj_filter.cpp)")
-        rx = vals[offs[gri]]
-        ry = vals[offs[gri] + 1]
-        sx = vals[offs[gsi]]
-        sy = vals[offs[gsi] + 1]
-        dx = rx - sx
-        dy = ry - sy
+        dx = vals[offs[gri]] - vals[offs[gsi]]
+        dy = vals[offs[gri] + 1] - vals[offs[gsi] + 1]
         keep = (dx * dx + dy * dy) <= d2
         return pa.table({"r_id": ids[gri[keep]], "s_id": ids[gsi[keep]]},
                         schema=PAIR_SCHEMA)
@@ -77,11 +61,13 @@ def distance_join(r: Dataset, s: Dataset, d: float,
     bounds = cfg.dataspace or compute_dataspace(r, s)
     grid = cfg.make_grid(bounds)
     r2 = r.select_columns(GEOM_COLS).map_batches(
-        make_assign_fn(grid, 0, hot_cells, cfg.salt_factor, eps=d),
+        make_assign_fn(grid, 0, hot_cells, cfg.salt_factor, eps=d,
+                       shuffle_parts=cfg.shuffle_parts),
         batch_format="pyarrow", batch_size=cfg.assign_batch_size)
     s2 = s.select_columns(GEOM_COLS).map_batches(
-        make_assign_fn(grid, 1, hot_cells, cfg.salt_factor),
+        make_assign_fn(grid, 1, hot_cells, cfg.salt_factor,
+                       shuffle_parts=cfg.shuffle_parts),
         batch_format="pyarrow", batch_size=cfg.assign_batch_size)
     both = r2.union(s2)
     kernel = make_distance_kernel(cfg, grid, d, hot_cells)
-    return both.groupby("cell_id").map_groups(kernel, batch_format="pyarrow")
+    return both.groupby("part").map_groups(kernel, batch_format="pyarrow")

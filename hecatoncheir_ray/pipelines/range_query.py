@@ -64,14 +64,37 @@ def make_range_fn(windows: list[tuple[int, int, np.ndarray]]):
     return range_eval
 
 
-def range_query(ds: Dataset, windows, mode: str = "collect") -> Dataset:
+def range_query(ds: Dataset, windows, mode: str = "collect"):
     """Evaluate windows against ds.
 
-    mode 'collect' -> (query_id, id); 'count' -> (query_id, result_count).
+    mode 'collect' -> Dataset(query_id, id);
+    mode 'count'   -> pandas DataFrame(query_id, result_count), zero-filled.
+    The COUNT path pre-aggregates per batch and merges the tiny partials on
+    the driver (a ray-level groupby costs a full shuffle barrier for a
+    result of len(windows) rows — the wrong tool; see ray_guide
+    'Aggregation at scale').
     """
-    hits = ds.map_batches(make_range_fn(windows), batch_format="pyarrow")
     if mode == "count":
-        from ray.data.aggregate import Count
-        return hits.groupby("query_id").aggregate(
-            Count(alias_name="result_count"))
-    return hits
+        return range_counts(ds, windows)
+    return ds.map_batches(make_range_fn(windows), batch_format="pyarrow")
+
+
+def range_counts(ds: Dataset, windows):
+    import pandas as pd
+    base = make_range_fn(windows)
+
+    def partial(t: pa.Table) -> pa.Table:
+        hits = base(t)
+        q = hits["query_id"].to_numpy(zero_copy_only=False)
+        uq, cnt = np.unique(q, return_counts=True)
+        return pa.table({"query_id": pa.array(uq, type=pa.int64()),
+                         "partial": pa.array(cnt, type=pa.int64())})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    acc = {int(w[0]): 0 for w in windows}
+    for r in rows:
+        acc[int(r["query_id"])] += int(r["partial"])
+    return pd.DataFrame({
+        "query_id": np.array(sorted(acc), dtype=np.int64),
+        "result_count": np.array([acc[k] for k in sorted(acc)],
+                                 dtype=np.int64)})

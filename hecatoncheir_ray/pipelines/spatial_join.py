@@ -100,14 +100,41 @@ def spatial_join(r: Dataset, s: Dataset, predicate: str = "intersects",
     bounds = cfg.dataspace or compute_dataspace(r, s)
     grid = cfg.make_grid(bounds)
     r2 = r.select_columns(GEOM_COLS).map_batches(
-        make_assign_fn(grid, 0, hot_cells, cfg.salt_factor),
+        make_assign_fn(grid, 0, hot_cells, cfg.salt_factor,
+                       shuffle_parts=cfg.shuffle_parts),
         batch_format="pyarrow", batch_size=cfg.assign_batch_size)
     s2 = s.select_columns(GEOM_COLS).map_batches(
-        make_assign_fn(grid, 1, hot_cells, cfg.salt_factor),
+        make_assign_fn(grid, 1, hot_cells, cfg.salt_factor,
+                       shuffle_parts=cfg.shuffle_parts),
         batch_format="pyarrow", batch_size=cfg.assign_batch_size)
     both = r2.union(s2)
     kernel = make_join_kernel(cfg, grid, predicate, hot_cells)
-    return both.groupby("cell_id").map_groups(kernel, batch_format="pyarrow")
+    # shuffle on the coarse hashed partition; the kernel fans back out to
+    # fine cells internally (numpy sort, no per-cell task overhead)
+    return both.groupby("part").map_groups(kernel, batch_format="pyarrow")
+
+
+def relation_histogram(rel_pairs: Dataset):
+    """(relation:int8) pairs Dataset -> DataFrame(relation_name, pair_count).
+
+    Per-batch partial bincounts merged on the driver (8 buckets — a ray
+    groupby shuffle would cost a barrier for an 8-row result)."""
+    import pandas as pd
+    import pyarrow as pa2
+    from ..geometry.predicates import TR_NAMES
+
+    def partial(t: pa2.Table) -> pa2.Table:
+        rel = t["relation"].to_numpy(zero_copy_only=False)
+        cnt = np.bincount(rel, minlength=8).astype(np.int64)
+        return pa2.table({"h": pa2.array([cnt])})
+
+    total = np.zeros(8, dtype=np.int64)
+    for r in rel_pairs.map_batches(partial,
+                                   batch_format="pyarrow").take_all():
+        total += np.asarray(r["h"])
+    nz = np.nonzero(total)[0]
+    return pd.DataFrame({"relation_name": [TR_NAMES[int(i)] for i in nz],
+                         "pair_count": total[nz]})
 
 
 def attach_payload(pairs: Dataset, payload: Dataset, pair_key: str,

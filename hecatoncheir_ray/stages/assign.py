@@ -24,14 +24,24 @@ from ..grid import explode_cells, explode_cells_salted
 GEOM_COLS = ["id", "gtype", "coords", "minx", "miny", "maxx", "maxy"]
 
 
+def hash_cells_to_parts(cells: np.ndarray, parts: int) -> np.ndarray:
+    """Spread (spatially adjacent) cell ids across shuffle partitions."""
+    with np.errstate(over="ignore"):
+        h = (cells.astype(np.uint64)
+             * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+    return (h % np.uint64(parts)).astype(np.int32)
+
+
 def make_assign_fn(grid: GridSpec, side: int,
                    hot_cells: np.ndarray | None = None,
                    salt_factor: int = 4,
                    eps: float = 0.0,
-                   keep_cols: list[str] | None = None):
+                   keep_cols: list[str] | None = None,
+                   shuffle_parts: int = 256):
     """Build the map_batches fn.  ``side``: 0 = R, 1 = S.  ``eps`` dilates
     MBRs before assignment (distance join, SURVEY §3 EP3 — replaces the
-    reference's 3-phase MPI border exchange)."""
+    reference's 3-phase MPI border exchange).  Emits ``cell_id`` (fine grid
+    key, dedup granularity) and ``part`` (hashed coarse shuffle key)."""
     hot = (np.asarray(hot_cells, dtype=np.int64)
            if hot_cells is not None and len(hot_cells) else None)
     cols = keep_cols or GEOM_COLS
@@ -60,6 +70,8 @@ def make_assign_fn(grid: GridSpec, side: int,
                                                hot, salt_factor)
         out = batch.select(cols).take(pa.array(rows))
         out = out.append_column("cell_id", pa.array(cells, type=pa.int64()))
+        out = out.append_column(
+            "part", pa.array(hash_cells_to_parts(cells, shuffle_parts)))
         out = out.append_column(
             "side", pa.array(np.full(len(cells), side, dtype=np.int8)))
         return out

@@ -1,22 +1,25 @@
-"""Per-cell join kernel: MBR candidate generation + dedup + refinement.
+"""Per-partition join kernel: MBR candidate generation + dedup + refinement.
 
 Reference equivalents:
 * candidate generation — the two-layer plane sweeps
   (/root/reference/Hecatoncheir/src/TwoLayer/intersection_join_filter.cpp:31-489).
-  Under Ray Data each grid cell arrives as one group after the
-  ``groupby(cell_id)`` shuffle; within a cell we use chunked vectorized
-  all-pairs MBR tests (cells are sized small by ``ppd``; the sweep's purpose
-  — subquadratic candidate generation across a whole node shard — is served
-  by the grid itself).
+  Under Ray Data the shuffle key is a coarse partition (hash of the fine
+  cell id, cfg.shuffle_parts of them) so one kernel invocation handles MANY
+  fine cells: rows are numpy-sorted by cell inside the kernel and each cell
+  gets a chunked vectorized all-pairs MBR test (cells are small by ppd; the
+  sweep's subquadratic purpose is served by the grid itself).  This keeps
+  group-call overhead O(partitions), not O(cells), and lets refinement
+  batch across cells.
 * duplicate avoidance — the reference's class A/B/C/D scheme
   (src/containers.cpp:1001-1034) is replaced by the equivalent PBSM
-  reference-point rule (see SURVEY.md §7.4): a pair is emitted only in the
+  reference-point rule (SURVEY.md §7.4): a pair is emitted only in the
   (sub-)cell owning ``(max(minx), max(miny))`` of the two MBRs.
 * refinement — refinement::relate / refinement::topology
-  (src/refinement/topology.cpp), here via geometry.predicates.
+  (src/refinement/topology.cpp).  Vectorized fast paths: box-box (pure
+  coordinate compares), point-areal (batched point-in-ring), point-point;
+  general polygon/linestring pairs use the per-pair DE-9IM evaluator.
 
-The kernel emits candidate or refined pairs as an Arrow table
-``(r_id, s_id[, relation])``.
+Emits Arrow ``(r_id, s_id[, relation])``.
 """
 
 from __future__ import annotations
@@ -25,10 +28,14 @@ import numpy as np
 import pyarrow as pa
 
 from ..config import EngineConfig, GridSpec
+from ..geometry.boxops import (box_find_relation, box_predicate_mask,
+                               point_areal_find_relation,
+                               point_areal_handled_cases)
 from ..geometry.core import GT_BOX, GT_POINT, GT_POLYGON
-from ..geometry.fast import eval_predicate, points_in_polygon_batch
-from ..geometry.predicates import (MBR_CROSS, TR_INTERSECT, find_relation,
-                                   relate_mbrs_batch)
+from ..geometry.fast import eval_predicate
+from ..geometry.predicates import (_ON_EPS, MBR_CROSS, MBR_INTERSECT,
+                                   TR_DISJOINT, TR_INTERSECT, find_relation,
+                                   points_in_ring, relate_mbrs_batch)
 from ..grid import ref_point_key
 from .assign import geoms_from_table
 
@@ -36,13 +43,278 @@ PAIR_SCHEMA = pa.schema([("r_id", pa.int64()), ("s_id", pa.int64())])
 REL_SCHEMA = pa.schema([("r_id", pa.int64()), ("s_id", pa.int64()),
                         ("relation", pa.int8())])
 
+_AREAL = (GT_POLYGON, GT_BOX)
+
+
+def _geom(offsets, values, i):
+    return values[offsets[i]:offsets[i + 1]]
+
+
+def generate_candidates(t: pa.Table, geo, grid: GridSpec, hot_cells,
+                        cfg: EngineConfig):
+    """All candidate pairs across every cell in this partition.
+
+    Returns (gri, gsi): global row indices into t with inclusively
+    overlapping MBRs, deduped by the reference-point rule per cell.
+    """
+    ids, gtypes, offs, vals, minx, miny, maxx, maxy = geo
+    side = t["side"].to_numpy(zero_copy_only=False)
+    cells = t["cell_id"].to_numpy(zero_copy_only=False)
+    n = len(cells)
+    if n == 0:
+        return (np.zeros(0, np.int64),) * 2
+    order = np.argsort(cells, kind="stable")
+    sc = cells[order]
+    cuts = np.nonzero(np.diff(sc))[0] + 1
+    starts = np.concatenate([[0], cuts])
+    ends = np.concatenate([cuts, [n]])
+    out_r, out_s = [], []
+    for a, b in zip(starts.tolist(), ends.tolist()):
+        idx = order[a:b]
+        cell_key = int(sc[a])
+        sd = side[idx]
+        r_idx = idx[sd == 0]
+        s_idx = idx[sd == 1]
+        if len(r_idx) == 0 or len(s_idx) == 0:
+            continue
+        rm0, rm1 = minx[r_idx], miny[r_idx]
+        rm2, rm3 = maxx[r_idx], maxy[r_idx]
+        sm0, sm1 = minx[s_idx], miny[s_idx]
+        sm2, sm3 = maxx[s_idx], maxy[s_idx]
+        step = max(1, cfg.pair_chunk // max(len(s_idx), 1))
+        for lo in range(0, len(r_idx), step):
+            hi = min(lo + step, len(r_idx))
+            ov = ((rm0[lo:hi, None] <= sm2[None, :])
+                  & (sm0[None, :] <= rm2[lo:hi, None])
+                  & (rm1[lo:hi, None] <= sm3[None, :])
+                  & (sm1[None, :] <= rm3[lo:hi, None]))
+            ri, si = np.nonzero(ov)
+            if len(ri):
+                ri = ri + lo
+                rx = np.maximum(rm0[ri], sm0[si])
+                ry = np.maximum(rm1[ri], sm1[si])
+                keep = ref_point_key(grid, rx, ry, hot_cells,
+                                     cfg.salt_factor) == cell_key
+                out_r.append(r_idx[ri[keep]])
+                out_s.append(s_idx[si[keep]])
+    if not out_r:
+        return (np.zeros(0, np.int64),) * 2
+    return np.concatenate(out_r), np.concatenate(out_s)
+
+
+# ---------------------------------------------------------------------------
+# refinement
+# ---------------------------------------------------------------------------
+
+def _pt_box_cls(px, py, bm, eps=_ON_EPS):
+    """Point vs box classification: 1 in / 0 on / -1 out (vectorized)."""
+    in_closed = ((px >= bm[:, 0] - eps) & (px <= bm[:, 2] + eps)
+                 & (py >= bm[:, 1] - eps) & (py <= bm[:, 3] + eps))
+    in_open = ((px > bm[:, 0] + eps) & (px < bm[:, 2] - eps)
+               & (py > bm[:, 1] + eps) & (py < bm[:, 3] - eps))
+    return np.where(in_open, 1, np.where(in_closed, 0, -1)).astype(np.int8)
+
+
+def _pip_classify(geo, pt_idx, ar_idx):
+    """cls (1/0/-1) of point rows pt_idx vs areal rows ar_idx (aligned)."""
+    ids, gtypes, offs, vals, minx, miny, maxx, maxy = geo
+    px = vals[offs[pt_idx]]
+    py = vals[offs[pt_idx] + 1]
+    cls = np.empty(len(pt_idx), dtype=np.int8)
+    is_box = gtypes[ar_idx] == GT_BOX
+    if is_box.any():
+        bi = ar_idx[is_box]
+        bm = np.stack([minx[bi], miny[bi], maxx[bi], maxy[bi]], axis=1)
+        cls[is_box] = _pt_box_cls(px[is_box], py[is_box], bm)
+    poly = ~is_box
+    if poly.any():
+        sel_all = np.nonzero(poly)[0]
+        order = sel_all[np.argsort(ar_idx[sel_all], kind="stable")]
+        sorted_ar = ar_idx[order]
+        cuts = np.nonzero(np.diff(sorted_ar))[0] + 1
+        starts = np.concatenate([[0], cuts])
+        ends = np.concatenate([cuts, [len(order)]])
+        for a, b in zip(starts.tolist(), ends.tolist()):
+            sel = order[a:b]
+            s = int(sorted_ar[a])
+            ring = _geom(offs, vals, s).reshape(-1, 2)
+            cls[sel] = points_in_ring(
+                np.stack([px[sel], py[sel]], axis=1), ring)
+    return cls
+
+
+# point-side refinement modes (cls thresholds) per predicate
+_PT_MODES_R = {"intersects": "in_or_on", "inside": "strict",
+               "covered_by": "in_or_on", "meet": "on", "disjoint": "out"}
+_PT_MODES_S = {"intersects": "in_or_on", "contains": "strict",
+               "covers": "in_or_on", "meet": "on", "disjoint": "out"}
+_CLS_KEEP = {"in_or_on": lambda c: c >= 0, "strict": lambda c: c == 1,
+             "on": lambda c: c == 0, "out": lambda c: c == -1}
+
+
+def refine_mask(cfg: EngineConfig, geo, gri, gsi, predicate: str
+                ) -> np.ndarray:
+    """Vectorized-dispatch refinement: keep-mask over candidate pairs."""
+    ids, gtypes, offs, vals, minx, miny, maxx, maxy = geo
+    npairs = len(gri)
+    keep = np.zeros(npairs, dtype=bool)
+    done = np.zeros(npairs, dtype=bool)
+    gtr = gtypes[gri]
+    gts = gtypes[gsi]
+
+    bb = (gtr == GT_BOX) & (gts == GT_BOX)
+    if bb.any():
+        rm = np.stack([minx[gri[bb]], miny[gri[bb]],
+                       maxx[gri[bb]], maxy[gri[bb]]], axis=1)
+        sm = np.stack([minx[gsi[bb]], miny[gsi[bb]],
+                       maxx[gsi[bb]], maxy[gsi[bb]]], axis=1)
+        keep[bb] = box_predicate_mask(predicate, rm, sm)
+        done |= bb
+
+    pa_mask = (gtr == GT_POINT) & np.isin(gts, _AREAL) & ~done
+    if pa_mask.any() and predicate in _PT_MODES_R:
+        cls = _pip_classify(geo, gri[pa_mask], gsi[pa_mask])
+        keep[pa_mask] = _CLS_KEEP[_PT_MODES_R[predicate]](cls)
+        done |= pa_mask
+
+    ap_mask = (gts == GT_POINT) & np.isin(gtr, _AREAL) & ~done
+    if ap_mask.any() and predicate in _PT_MODES_S:
+        cls = _pip_classify(geo, gsi[ap_mask], gri[ap_mask])
+        keep[ap_mask] = _CLS_KEEP[_PT_MODES_S[predicate]](cls)
+        done |= ap_mask
+
+    pp = (gtr == GT_POINT) & (gts == GT_POINT) & ~done
+    if pp.any():
+        dx = vals[offs[gri[pp]]] - vals[offs[gsi[pp]]]
+        dy = vals[offs[gri[pp]] + 1] - vals[offs[gsi[pp]] + 1]
+        eq = np.hypot(dx, dy) <= _ON_EPS
+        if predicate in ("intersects", "inside", "covered_by", "contains",
+                         "covers", "equal"):
+            keep[pp] = eq
+        elif predicate == "disjoint":
+            keep[pp] = ~eq
+        else:  # meet: point boundaries are empty -> never touches
+            keep[pp] = False
+        done |= pp
+
+    rest = np.nonzero(~done)[0]
+    for k in rest.tolist():
+        i, j = int(gri[k]), int(gsi[k])
+        keep[k] = eval_predicate(predicate, int(gtypes[i]),
+                                 _geom(offs, vals, i), int(gtypes[j]),
+                                 _geom(offs, vals, j))
+    return keep
+
+
+def classify_relations(cfg: EngineConfig, geo, gri, gsi) -> np.ndarray:
+    """FIND_RELATION over candidate pairs (mirrors forwardPair +
+    specializedRefinementEntrypoint; MBR_CROSS is dead code upstream)."""
+    ids, gtypes, offs, vals, minx, miny, maxx, maxy = geo
+    mbr_cases = relate_mbrs_batch(minx[gri], miny[gri], maxx[gri], maxy[gri],
+                                  minx[gsi], miny[gsi], maxx[gsi], maxy[gsi])
+    rel = np.full(len(gri), TR_INTERSECT, dtype=np.int8)
+    if not cfg.refinement:
+        return rel
+    done = np.zeros(len(gri), dtype=bool)
+    gtr = gtypes[gri]
+    gts = gtypes[gsi]
+
+    bb = (gtr == GT_BOX) & (gts == GT_BOX)
+    if bb.any():
+        rm = np.stack([minx[gri[bb]], miny[gri[bb]],
+                       maxx[gri[bb]], maxy[gri[bb]]], axis=1)
+        sm = np.stack([minx[gsi[bb]], miny[gsi[bb]],
+                       maxx[gsi[bb]], maxy[gsi[bb]]], axis=1)
+        rel[bb] = box_find_relation(rm, sm, mbr_cases[bb])
+        done |= bb
+
+    for point_is_r in (True, False):
+        if point_is_r:
+            m = (gtr == GT_POINT) & np.isin(gts, _AREAL) & ~done
+        else:
+            m = (gts == GT_POINT) & np.isin(gtr, _AREAL) & ~done
+        if m.any():
+            handled = point_areal_handled_cases(mbr_cases[m], point_is_r)
+            mm = np.nonzero(m)[0][handled]
+            if len(mm):
+                pt = gri[mm] if point_is_r else gsi[mm]
+                ar = gsi[mm] if point_is_r else gri[mm]
+                cls = _pip_classify(geo, pt, ar)
+                rel[mm] = point_areal_find_relation(cls, mbr_cases[mm],
+                                                    point_is_r)
+                done[mm] = True
+
+    # areal-areal with MBR_INTERSECT: staged shortcut.  The reference path
+    # is refineDisjointMeetIntersect (topology.cpp:178-192): outcomes only
+    # DISJOINT / MEET / INTERSECT.  fast_intersects decides DISJOINT; a
+    # strict vertex-containment proof decides INTERSECT (interiors overlap
+    # -> meet impossible); only the rare remainder (proper crossings with no
+    # vertex inside, collinear touch chains) pays for full relate.
+    from ..geometry.fast import fast_intersects
+    from ..geometry.core import box_to_ring
+    aa = (np.isin(gtr, _AREAL) & np.isin(gts, _AREAL) & ~done
+          & (mbr_cases == MBR_INTERSECT))
+    for k in np.nonzero(aa)[0].tolist():
+        i, j = int(gri[k]), int(gsi[k])
+        gi, gj = int(gtypes[i]), int(gtypes[j])
+        ci = _geom(offs, vals, i)
+        cj = _geom(offs, vals, j)
+        if not fast_intersects(gi, ci, gj, cj):
+            rel[k] = TR_DISJOINT
+            continue
+        ri = box_to_ring(ci) if gi == GT_BOX else ci.reshape(-1, 2)
+        rj = box_to_ring(cj) if gj == GT_BOX else cj.reshape(-1, 2)
+        if (points_in_ring(ri, rj) == 1).any() \
+                or (points_in_ring(rj, ri) == 1).any():
+            rel[k] = TR_INTERSECT       # interiors provably overlap
+        else:
+            rel[k] = find_relation(gi, ci, gj, cj, MBR_INTERSECT)
+    done |= aa
+
+    rest = np.nonzero(~done)[0]
+    for k in rest.tolist():
+        if mbr_cases[k] == MBR_CROSS:    # parity: unreachable
+            rel[k] = TR_INTERSECT
+            continue
+        i, j = int(gri[k]), int(gsi[k])
+        rel[k] = find_relation(int(gtypes[i]), _geom(offs, vals, i),
+                               int(gtypes[j]), _geom(offs, vals, j),
+                               int(mbr_cases[k]))
+    return rel
+
+
+def make_join_kernel(cfg: EngineConfig, grid: GridSpec, predicate: str,
+                     hot_cells=None):
+    """Build the per-partition map_groups kernel."""
+    hot = (np.asarray(hot_cells, dtype=np.int64)
+           if hot_cells is not None and len(hot_cells) else None)
+    find_rel = predicate == "find_relation"
+    schema = REL_SCHEMA if find_rel else PAIR_SCHEMA
+
+    def kernel(t: pa.Table) -> pa.Table:
+        geo = geoms_from_table(t)
+        gri, gsi = generate_candidates(t, geo, grid, hot, cfg)
+        if len(gri) == 0:
+            return schema.empty_table()
+        ids = geo[0]
+        if find_rel:
+            rel = classify_relations(cfg, geo, gri, gsi)
+            return pa.table({"r_id": ids[gri], "s_id": ids[gsi],
+                             "relation": rel}, schema=REL_SCHEMA)
+        if not cfg.refinement:
+            keep = np.ones(len(gri), dtype=bool)
+        else:
+            keep = refine_mask(cfg, geo, gri, gsi, predicate)
+        return pa.table({"r_id": ids[gri[keep]], "s_id": ids[gsi[keep]]},
+                        schema=PAIR_SCHEMA)
+
+    kernel.__name__ = f"join_{predicate}"
+    return kernel
+
 
 def mbr_candidates(rm, sm, cell_key, grid: GridSpec,
                    hot_cells, salt_factor: int, pair_chunk: int):
-    """Chunked all-pairs inclusive MBR-overlap test + reference-point dedup.
-
-    rm/sm: (n,4) arrays (minx,miny,maxx,maxy).  Returns (ri, si) index pairs.
-    """
+    """Single-cell candidate helper (kept for tests/diagnostics)."""
     n, m = len(rm), len(sm)
     if n == 0 or m == 0:
         return (np.zeros(0, np.int64),) * 2
@@ -67,142 +339,3 @@ def mbr_candidates(rm, sm, cell_key, grid: GridSpec,
     if not out_r:
         return (np.zeros(0, np.int64),) * 2
     return np.concatenate(out_r), np.concatenate(out_s)
-
-
-def _geom(offsets, values, i):
-    return values[offsets[i]:offsets[i + 1]]
-
-
-_AREAL = (GT_POLYGON, GT_BOX)
-
-
-def _refine_point_in_areal(ri, si, pgeo, ageo, mode: str):
-    """Vectorized refinement when one side is all points, other all areal.
-
-    pgeo: (ids, gtypes, offs, vals, ...) of the POINT side, ageo of the areal
-    side; ri/si index into point side / areal side respectively.
-    mode: 'in_or_on' (intersects/covered_by) | 'strict' (within) |
-    'on' (meet) | 'out' (disjoint).
-    Returns boolean keep mask over the pairs.
-    """
-    _, _, poffs, pvals, pminx, pminy, *_ = pgeo
-    _, agt, aoffs, avals, *_ = ageo
-    px = pvals[poffs[ri]]
-    py = pvals[poffs[ri] + 1]
-    keep = np.zeros(len(ri), dtype=bool)
-    order = np.argsort(si, kind="stable")
-    si_o = si[order]
-    bounds = np.searchsorted(si_o, np.unique(si_o), side="left").tolist() \
-        + [len(si_o)]
-    uniq = np.unique(si_o)
-    for k, s in enumerate(uniq.tolist()):
-        sel = order[bounds[k]:bounds[k + 1]]
-        cls = points_in_polygon_batch(px[sel], py[sel], int(agt[s]),
-                                      _geom(aoffs, avals, s))
-        if mode == "in_or_on":
-            keep[sel] = cls >= 0
-        elif mode == "strict":
-            keep[sel] = cls == 1
-        elif mode == "on":
-            keep[sel] = cls == 0
-        else:  # out
-            keep[sel] = cls == -1
-    return keep
-
-
-# point-side refinement modes per predicate, when R=points S=areal
-_PT_MODES_R = {"intersects": "in_or_on", "inside": "strict",
-               "covered_by": "in_or_on", "meet": "on", "disjoint": "out"}
-# when S=points R=areal (contains(R,S) == within(S,R) etc.)
-_PT_MODES_S = {"intersects": "in_or_on", "contains": "strict",
-               "covers": "in_or_on", "meet": "on", "disjoint": "out"}
-
-
-def make_join_kernel(cfg: EngineConfig, grid: GridSpec, predicate: str,
-                     hot_cells=None):
-    """Build the map_groups kernel for a predicate join or find_relation."""
-    hot = (np.asarray(hot_cells, dtype=np.int64)
-           if hot_cells is not None and len(hot_cells) else None)
-    find_rel = predicate == "find_relation"
-    schema = REL_SCHEMA if find_rel else PAIR_SCHEMA
-
-    def kernel(t: pa.Table) -> pa.Table:
-        side = t["side"].to_numpy(zero_copy_only=False)
-        r_sel = np.nonzero(side == 0)[0]
-        s_sel = np.nonzero(side == 1)[0]
-        if len(r_sel) == 0 or len(s_sel) == 0:
-            return schema.empty_table()
-        cell_key = int(t["cell_id"][0].as_py())
-        geo = geoms_from_table(t)
-        ids, gtypes, offs, vals, minx, miny, maxx, maxy = geo
-        rm = np.stack([minx[r_sel], miny[r_sel],
-                       maxx[r_sel], maxy[r_sel]], axis=1)
-        sm = np.stack([minx[s_sel], miny[s_sel],
-                       maxx[s_sel], maxy[s_sel]], axis=1)
-        ri, si = mbr_candidates(rm, sm, cell_key, grid, hot,
-                                cfg.salt_factor, cfg.pair_chunk)
-        if len(ri) == 0:
-            return schema.empty_table()
-        gri = r_sel[ri]       # global row indices in t
-        gsi = s_sel[si]
-
-        if find_rel:
-            return _refine_find_relation(cfg, t, geo, gri, gsi, rm, sm,
-                                         ri, si)
-
-        if not cfg.refinement:
-            keep = np.ones(len(gri), dtype=bool)
-        else:
-            keep = _refine_predicate(cfg, geo, gri, gsi, predicate)
-        return pa.table({"r_id": ids[gri[keep]],
-                         "s_id": ids[gsi[keep]]}, schema=PAIR_SCHEMA)
-
-    kernel.__name__ = f"join_{predicate}"
-    return kernel
-
-
-def _refine_predicate(cfg, geo, gri, gsi, predicate):
-    ids, gtypes, offs, vals, *_ = geo
-    r_pts = (gtypes[gri] == GT_POINT).all()
-    s_areal = np.isin(gtypes[gsi], _AREAL).all()
-    s_pts = (gtypes[gsi] == GT_POINT).all()
-    r_areal = np.isin(gtypes[gri], _AREAL).all()
-    if r_pts and s_areal and predicate in _PT_MODES_R:
-        return _refine_point_in_areal(gri, gsi, geo, geo,
-                                      _PT_MODES_R[predicate])
-    if s_pts and r_areal and predicate in _PT_MODES_S:
-        return _refine_point_in_areal(gsi, gri, geo, geo,
-                                      _PT_MODES_S[predicate])
-    keep = np.zeros(len(gri), dtype=bool)
-    for k in range(len(gri)):
-        i, j = int(gri[k]), int(gsi[k])
-        keep[k] = eval_predicate(predicate, int(gtypes[i]),
-                                 _geom(offs, vals, i), int(gtypes[j]),
-                                 _geom(offs, vals, j))
-    return keep
-
-
-def _refine_find_relation(cfg, t, geo, gri, gsi, rm, sm, ri, si):
-    """FIND_RELATION: classify each candidate pair.
-
-    Mirrors forwardPair (topology_join_filter.cpp:9-35): MBR_CROSS would be
-    an immediate TR_INTERSECT but is unreachable (dead code upstream); with
-    the intermediate filter off, every pair goes to specialized refinement.
-    """
-    ids, gtypes, offs, vals, *_ = geo
-    mbr_cases = relate_mbrs_batch(rm[ri, 0], rm[ri, 1], rm[ri, 2], rm[ri, 3],
-                                  sm[si, 0], sm[si, 1], sm[si, 2], sm[si, 3])
-    rel = np.empty(len(gri), dtype=np.int8)
-    if not cfg.refinement:
-        rel[:] = TR_INTERSECT
-    else:
-        for k in range(len(gri)):
-            if mbr_cases[k] == MBR_CROSS:    # parity: unreachable
-                rel[k] = TR_INTERSECT
-                continue
-            i, j = int(gri[k]), int(gsi[k])
-            rel[k] = find_relation(int(gtypes[i]), _geom(offs, vals, i),
-                                   int(gtypes[j]), _geom(offs, vals, j),
-                                   int(mbr_cases[k]))
-    return pa.table({"r_id": ids[gri], "s_id": ids[gsi],
-                     "relation": rel}, schema=REL_SCHEMA)

@@ -32,13 +32,12 @@ def test_range_query_points(ray_session):
                               a["gtype"], np.asarray(a["coords"])):
                 exp.append((qid, a["id"]))
     assert got == sorted(exp)
-    # count mode
-    counts = {r["query_id"]: r["result_count"]
-              for r in range_query(rd.from_arrow(tp), windows,
-                                   mode="count").take_all()}
+    # count mode (DataFrame, zero-filled)
+    cdf = range_query(rd.from_arrow(tp), windows, mode="count")
+    counts = dict(zip(cdf["query_id"], cdf["result_count"]))
     from collections import Counter
     expc = Counter(q for q, _ in exp)
-    assert counts == dict(expc)
+    assert counts == {0: expc[0], 1: expc[1], 2: 0}
 
 
 def test_range_query_polygons(ray_session):
