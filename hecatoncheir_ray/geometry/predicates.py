@@ -100,6 +100,61 @@ def points_in_ring(pts: np.ndarray, ring: np.ndarray, eps=_ON_EPS) -> np.ndarray
     return out
 
 
+def build_padded_rings(offs: np.ndarray, vals: np.ndarray, rows: np.ndarray):
+    """Pad the rings of ``rows`` (indices into an Arrow list-column layout)
+    to a common edge count for batched point-in-ring computation.
+
+    Returns (ax, ay, bx, by, valid): (U, E) edge arrays + validity mask.
+    """
+    rows = np.asarray(rows, dtype=np.int64)
+    nv = ((offs[rows + 1] - offs[rows]) // 2).astype(np.int64)
+    E = int(nv.max()) if len(nv) else 1
+    k = np.arange(E, dtype=np.int64)[None, :]
+    safe_k = np.minimum(k, nv[:, None] - 1)
+    base = offs[rows].astype(np.int64)[:, None]
+    idx = base + 2 * safe_k
+    ax = vals[idx]
+    ay = vals[idx + 1]
+    nxt = (safe_k + 1) % nv[:, None]
+    idx2 = base + 2 * nxt
+    bx = vals[idx2]
+    by = vals[idx2 + 1]
+    valid = k < nv[:, None]
+    return ax, ay, bx, by, valid
+
+
+def points_in_rings_batch(px: np.ndarray, py: np.ndarray,
+                          ring_of_pt: np.ndarray, padded,
+                          eps=_ON_EPS) -> np.ndarray:
+    """Classify P points, each against its own ring, in ONE vectorized pass.
+
+    ``padded`` comes from :func:`build_padded_rings`; ``ring_of_pt`` maps
+    each point to a row of the padded arrays.  Semantics identical to
+    :func:`points_in_ring` (1 in / 0 on / -1 out).
+    """
+    ax, ay, bx, by, valid = padded
+    A_x = ax[ring_of_pt]
+    A_y = ay[ring_of_pt]
+    B_x = bx[ring_of_pt]
+    B_y = by[ring_of_pt]
+    V = valid[ring_of_pt]
+    pxc = px[:, None]
+    pyc = py[:, None]
+    cross = (B_x - A_x) * (pyc - A_y) - (B_y - A_y) * (pxc - A_x)
+    seglen = np.hypot(B_x - A_x, B_y - A_y)
+    on = (V & (np.abs(cross) <= eps * np.maximum(seglen, 1.0))
+          & (pxc >= np.minimum(A_x, B_x) - eps)
+          & (pxc <= np.maximum(A_x, B_x) + eps)
+          & (pyc >= np.minimum(A_y, B_y) - eps)
+          & (pyc <= np.maximum(A_y, B_y) + eps)).any(axis=1)
+    cond = V & ((A_y <= pyc) != (B_y <= pyc))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = A_x + (pyc - A_y) * (B_x - A_x) / (B_y - A_y)
+    crossings = (cond & (pxc < xint)).sum(axis=1)
+    inside = (crossings % 2) == 1
+    return np.where(on, 0, np.where(inside, 1, -1)).astype(np.int8)
+
+
 def points_on_polyline(pts: np.ndarray, line: np.ndarray, eps=_ON_EPS) -> np.ndarray:
     """(k,2) pts vs polyline (n,2) -> bool (k,) point lies on the polyline."""
     pts = np.atleast_2d(pts)

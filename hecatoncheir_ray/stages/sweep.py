@@ -128,19 +128,124 @@ def _pip_classify(geo, pt_idx, ar_idx):
         cls[is_box] = _pt_box_cls(px[is_box], py[is_box], bm)
     poly = ~is_box
     if poly.any():
-        sel_all = np.nonzero(poly)[0]
-        order = sel_all[np.argsort(ar_idx[sel_all], kind="stable")]
-        sorted_ar = ar_idx[order]
-        cuts = np.nonzero(np.diff(sorted_ar))[0] + 1
-        starts = np.concatenate([[0], cuts])
-        ends = np.concatenate([cuts, [len(order)]])
-        for a, b in zip(starts.tolist(), ends.tolist()):
-            sel = order[a:b]
-            s = int(sorted_ar[a])
-            ring = _geom(offs, vals, s).reshape(-1, 2)
-            cls[sel] = points_in_ring(
-                np.stack([px[sel], py[sel]], axis=1), ring)
+        from ..geometry.predicates import (build_padded_rings,
+                                           points_in_rings_batch)
+        sel = np.nonzero(poly)[0]
+        uniq, inv = np.unique(ar_idx[sel], return_inverse=True)
+        padded = build_padded_rings(offs, vals, uniq)
+        cls[sel] = points_in_rings_batch(px[sel], py[sel], inv, padded)
     return cls
+
+
+# ---------------------------------------------------------------------------
+# mega-batched polygon-polygon refinement
+# ---------------------------------------------------------------------------
+
+def _verts_vs_polys(geo, src, poly):
+    """Per-pair vertex-containment stats, fully vectorized: for each pair k,
+    were ANY vertices of geometry src[k] strictly inside / on the boundary
+    of polygon poly[k]?  One padded-ring PiP pass over every vertex of every
+    pair (no per-polygon Python loop).
+
+    Returns (any_in, any_on) boolean arrays aligned with the pairs.
+    src/poly must reference GT_POLYGON rows (single rings).
+    """
+    from ..geometry.predicates import (build_padded_rings,
+                                       points_in_rings_batch)
+    ids, gtypes, offs, vals, *_ = geo
+    any_in = np.zeros(len(src), dtype=bool)
+    any_on = np.zeros(len(src), dtype=bool)
+    if len(src) == 0:
+        return any_in, any_on
+    uniq, inv = np.unique(poly, return_inverse=True)
+    padded = build_padded_rings(offs, vals, uniq)
+    # ragged gather of all src vertices, tagged with their pair index
+    nv = ((offs[src + 1] - offs[src]) // 2).astype(np.int64)
+    E = padded[0].shape[1]
+    # cap the (points x E) intermediate: chunk by pairs
+    budget = max(1, (1 << 24) // max(E, 1))
+    if int(nv.sum()) > budget:
+        cum = np.cumsum(nv)
+        cut = int(np.searchsorted(cum, budget) + 1)
+        a_in, a_on = _verts_vs_polys(geo, src[:cut], poly[:cut])
+        b_in, b_on = _verts_vs_polys(geo, src[cut:], poly[cut:])
+        return (np.concatenate([a_in, b_in]), np.concatenate([a_on, b_on]))
+    total = int(nv.sum())
+    rep_starts = np.zeros(len(src), dtype=np.int64)
+    np.cumsum(nv[:-1], out=rep_starts[1:])
+    pair_of_pt = np.repeat(np.arange(len(src), dtype=np.int64), nv)
+    local = np.arange(total, dtype=np.int64) - np.repeat(rep_starts, nv)
+    ptpos = offs[src].astype(np.int64)[pair_of_pt] + 2 * local
+    cls = points_in_rings_batch(vals[ptpos], vals[ptpos + 1],
+                                inv[pair_of_pt], padded)
+    red = rep_starts
+    any_in[:] = np.add.reduceat(cls == 1, red) > 0
+    any_on[:] = np.add.reduceat(cls == 0, red) > 0
+    return any_in, any_on
+
+
+def _edge_cross_kind(geo, i, j, eps=_ON_EPS):
+    """Boundary-cross test for one polygon pair, pruned to the MBR-overlap
+    box: 0 = no boundary contact, 1 = touch-only, 2 = proper crossing."""
+    ids, gtypes, offs, vals, minx, miny, maxx, maxy = geo
+    ox0 = max(minx[i], minx[j]) - eps
+    oy0 = max(miny[i], miny[j]) - eps
+    ox1 = min(maxx[i], maxx[j]) + eps
+    oy1 = min(maxy[i], maxy[j]) + eps
+
+    def clipped_edges(row):
+        p = _geom(offs, vals, row).reshape(-1, 2)
+        e = np.stack([p, np.roll(p, -1, axis=0)], axis=1)
+        lo = e.min(axis=1)
+        hi = e.max(axis=1)
+        m = ((lo[:, 0] <= ox1) & (hi[:, 0] >= ox0)
+             & (lo[:, 1] <= oy1) & (hi[:, 1] >= oy0))
+        return e[m]
+
+    er = clipped_edges(i)
+    es = clipped_edges(j)
+    if len(er) == 0 or len(es) == 0:
+        return 0
+    p1 = er[:, 0][:, None, :]
+    p2 = er[:, 1][:, None, :]
+    q1 = es[:, 0][None, :, :]
+    q2 = es[:, 1][None, :, :]
+    la = np.hypot(p2[..., 0] - p1[..., 0], p2[..., 1] - p1[..., 1])
+    lb = np.hypot(q2[..., 0] - q1[..., 0], q2[..., 1] - q1[..., 1])
+    e = eps * np.maximum(np.maximum(la, lb), 1.0)
+
+    def orient(ax, ay, bx, by, cx, cy):
+        return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+    d1 = orient(q1[..., 0], q1[..., 1], q2[..., 0], q2[..., 1],
+                p1[..., 0], p1[..., 1])
+    d2 = orient(q1[..., 0], q1[..., 1], q2[..., 0], q2[..., 1],
+                p2[..., 0], p2[..., 1])
+    d3 = orient(p1[..., 0], p1[..., 1], p2[..., 0], p2[..., 1],
+                q1[..., 0], q1[..., 1])
+    d4 = orient(p1[..., 0], p1[..., 1], p2[..., 0], p2[..., 1],
+                q2[..., 0], q2[..., 1])
+    proper = (((d1 > e) & (d2 < -e)) | ((d1 < -e) & (d2 > e))) \
+        & (((d3 > e) & (d4 < -e)) | ((d3 < -e) & (d4 > e)))
+    if proper.any():
+        return 2
+
+    def on_seg(d, px, py, ax, ay, bx, by):
+        return ((np.abs(d) <= e)
+                & (px >= np.minimum(ax, bx) - eps)
+                & (px <= np.maximum(ax, bx) + eps)
+                & (py >= np.minimum(ay, by) - eps)
+                & (py <= np.maximum(ay, by) + eps))
+
+    touch = (on_seg(d1, p1[..., 0], p1[..., 1], q1[..., 0], q1[..., 1],
+                    q2[..., 0], q2[..., 1])
+             | on_seg(d2, p2[..., 0], p2[..., 1], q1[..., 0], q1[..., 1],
+                      q2[..., 0], q2[..., 1])
+             | on_seg(d3, q1[..., 0], q1[..., 1], p1[..., 0], p1[..., 1],
+                      p2[..., 0], p2[..., 1])
+             | on_seg(d4, q2[..., 0], q2[..., 1], p1[..., 0], p1[..., 1],
+                      p2[..., 0], p2[..., 1]))
+    return 1 if touch.any() else 0
 
 
 # point-side refinement modes (cls thresholds) per predicate
@@ -182,6 +287,21 @@ def refine_mask(cfg: EngineConfig, geo, gri, gsi, predicate: str
         cls = _pip_classify(geo, gsi[ap_mask], gri[ap_mask])
         keep[ap_mask] = _CLS_KEEP[_PT_MODES_S[predicate]](cls)
         done |= ap_mask
+
+    # polygon-polygon intersects/disjoint: mega-batched (grouped vertex
+    # containment resolves most pairs; pruned edge-cross test the rest)
+    poly2 = (gtr == GT_POLYGON) & (gts == GT_POLYGON) & ~done
+    if poly2.any() and predicate in ("intersects", "disjoint"):
+        sel = np.nonzero(poly2)[0]
+        r_in, r_on = _verts_vs_polys(geo, gri[sel], gsi[sel])
+        s_in, s_on = _verts_vs_polys(geo, gsi[sel], gri[sel])
+        hit = r_in | r_on | s_in | s_on
+        und = np.nonzero(~hit)[0]
+        for u in und.tolist():
+            hit[u] = _edge_cross_kind(geo, int(gri[sel[u]]),
+                                      int(gsi[sel[u]])) > 0
+        keep[sel] = hit if predicate == "intersects" else ~hit
+        done |= poly2
 
     pp = (gtr == GT_POINT) & (gts == GT_POINT) & ~done
     if pp.any():
@@ -244,32 +364,32 @@ def classify_relations(cfg: EngineConfig, geo, gri, gsi) -> np.ndarray:
                                                     point_is_r)
                 done[mm] = True
 
-    # areal-areal with MBR_INTERSECT: staged shortcut.  The reference path
-    # is refineDisjointMeetIntersect (topology.cpp:178-192): outcomes only
-    # DISJOINT / MEET / INTERSECT.  fast_intersects decides DISJOINT; a
-    # strict vertex-containment proof decides INTERSECT (interiors overlap
-    # -> meet impossible); only the rare remainder (proper crossings with no
-    # vertex inside, collinear touch chains) pays for full relate.
-    from ..geometry.fast import fast_intersects
-    from ..geometry.core import box_to_ring
-    aa = (np.isin(gtr, _AREAL) & np.isin(gts, _AREAL) & ~done
+    # polygon-polygon with MBR_INTERSECT: staged mega-batch shortcut.  The
+    # reference path is refineDisjointMeetIntersect (topology.cpp:178-192):
+    # outcomes only DISJOINT / MEET / INTERSECT.  Grouped vertex containment
+    # + pruned edge-cross decide almost every pair; only touch-only contact
+    # without a strict interior proof pays for full relate (MEET vs
+    # INTERSECT via collinear chains).
+    aa = ((gtr == GT_POLYGON) & (gts == GT_POLYGON) & ~done
           & (mbr_cases == MBR_INTERSECT))
-    for k in np.nonzero(aa)[0].tolist():
-        i, j = int(gri[k]), int(gsi[k])
-        gi, gj = int(gtypes[i]), int(gtypes[j])
-        ci = _geom(offs, vals, i)
-        cj = _geom(offs, vals, j)
-        if not fast_intersects(gi, ci, gj, cj):
-            rel[k] = TR_DISJOINT
-            continue
-        ri = box_to_ring(ci) if gi == GT_BOX else ci.reshape(-1, 2)
-        rj = box_to_ring(cj) if gj == GT_BOX else cj.reshape(-1, 2)
-        if (points_in_ring(ri, rj) == 1).any() \
-                or (points_in_ring(rj, ri) == 1).any():
-            rel[k] = TR_INTERSECT       # interiors provably overlap
-        else:
-            rel[k] = find_relation(gi, ci, gj, cj, MBR_INTERSECT)
-    done |= aa
+    if aa.any():
+        sel = np.nonzero(aa)[0]
+        r_in, r_on = _verts_vs_polys(geo, gri[sel], gsi[sel])
+        s_in, s_on = _verts_vs_polys(geo, gsi[sel], gri[sel])
+        strict = r_in | s_in
+        rel[sel[strict]] = TR_INTERSECT      # interiors provably overlap
+        for u in np.nonzero(~strict)[0].tolist():
+            i, j = int(gri[sel[u]]), int(gsi[sel[u]])
+            kind = _edge_cross_kind(geo, i, j)
+            if kind == 2:
+                rel[sel[u]] = TR_INTERSECT   # proper crossing
+            elif kind == 0 and not (r_on[u] or s_on[u]):
+                rel[sel[u]] = TR_DISJOINT    # no contact at all
+            else:                            # touch-only: MEET vs INTERSECT
+                rel[sel[u]] = find_relation(
+                    int(gtypes[i]), _geom(offs, vals, i),
+                    int(gtypes[j]), _geom(offs, vals, j), MBR_INTERSECT)
+        done |= aa
 
     rest = np.nonzero(~done)[0]
     for k in rest.tolist():
