@@ -99,12 +99,28 @@ def spatial_join(r: Dataset, s: Dataset, predicate: str = "intersects",
     cfg = cfg or EngineConfig()
     bounds = cfg.dataspace or compute_dataspace(r, s)
     grid = cfg.make_grid(bounds)
-    r2 = r.select_columns(GEOM_COLS).map_batches(
+    r2 = r.select_columns(GEOM_COLS)
+    s2 = s.select_columns(GEOM_COLS)
+    keep_cols = list(GEOM_COLS)
+    if cfg.intermediate_filter:
+        # APRIL generation stage (ST2: once per object, BEFORE replication;
+        # the interval columns ride the shuffle like the reference ships
+        # AprilData with its objects)
+        from ..april import make_april_fn
+        gen = make_april_fn(bounds, cfg.april_n)
+        r2 = r2.map_batches(gen, batch_format="pyarrow",
+                            batch_size=cfg.assign_batch_size)
+        s2 = s2.map_batches(gen, batch_format="pyarrow",
+                            batch_size=cfg.assign_batch_size)
+        keep_cols += ["april_all", "april_full"]
+    r2 = r2.map_batches(
         make_assign_fn(grid, 0, hot_cells, cfg.salt_factor,
+                       keep_cols=keep_cols,
                        shuffle_parts=cfg.shuffle_parts),
         batch_format="pyarrow", batch_size=cfg.assign_batch_size)
-    s2 = s.select_columns(GEOM_COLS).map_batches(
+    s2 = s2.map_batches(
         make_assign_fn(grid, 1, hot_cells, cfg.salt_factor,
+                       keep_cols=keep_cols,
                        shuffle_parts=cfg.shuffle_parts),
         batch_format="pyarrow", batch_size=cfg.assign_batch_size)
     both = r2.union(s2)

@@ -257,8 +257,22 @@ _CLS_KEEP = {"in_or_on": lambda c: c >= 0, "strict": lambda c: c == 1,
              "on": lambda c: c == 0, "out": lambda c: c == -1}
 
 
-def refine_mask(cfg: EngineConfig, geo, gri, gsi, predicate: str
-                ) -> np.ndarray:
+def _list_col_np(t: pa.Table, name: str):
+    """Arrow list column -> (offsets, values) numpy views."""
+    col = t[name]
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if isinstance(arr, pa.ChunkedArray):
+        arr = pa.array([], type=pa.list_(pa.uint32()))
+    return np.asarray(arr.offsets), np.asarray(arr.values)
+
+
+def _april_of(april, i):
+    ao, av, fo, fv = april
+    return av[ao[i]:ao[i + 1]], fv[fo[i]:fo[i + 1]]
+
+
+def refine_mask(cfg: EngineConfig, geo, gri, gsi, predicate: str,
+                april=None) -> np.ndarray:
     """Vectorized-dispatch refinement: keep-mask over candidate pairs."""
     ids, gtypes, offs, vals, minx, miny, maxx, maxy = geo
     npairs = len(gri)
@@ -318,6 +332,23 @@ def refine_mask(cfg: EngineConfig, geo, gri, gsi, predicate: str
         done |= pp
 
     rest = np.nonzero(~done)[0]
+    if len(rest) and april is not None:
+        # APRIL intermediate filter (J5, src/APRIL/filter.cpp:229-339):
+        # conclusive TRUE_HIT / TRUE_NEGATIVE skip exact refinement
+        from ..april import april_filter_predicate
+        for k in rest.tolist():
+            i, j = int(gri[k]), int(gsi[k])
+            a_r, f_r = _april_of(april, i)
+            a_s, f_s = _april_of(april, j)
+            dec = april_filter_predicate(predicate, a_r, f_r, a_s, f_s)
+            if dec != 0:
+                keep[k] = dec > 0
+            else:
+                keep[k] = eval_predicate(predicate, int(gtypes[i]),
+                                         _geom(offs, vals, i),
+                                         int(gtypes[j]),
+                                         _geom(offs, vals, j))
+        return keep
     for k in rest.tolist():
         i, j = int(gri[k]), int(gsi[k])
         keep[k] = eval_predicate(predicate, int(gtypes[i]),
@@ -326,7 +357,8 @@ def refine_mask(cfg: EngineConfig, geo, gri, gsi, predicate: str
     return keep
 
 
-def classify_relations(cfg: EngineConfig, geo, gri, gsi) -> np.ndarray:
+def classify_relations(cfg: EngineConfig, geo, gri, gsi,
+                       april=None) -> np.ndarray:
     """FIND_RELATION over candidate pairs (mirrors forwardPair +
     specializedRefinementEntrypoint; MBR_CROSS is dead code upstream)."""
     ids, gtypes, offs, vals, minx, miny, maxx, maxy = geo
@@ -338,6 +370,20 @@ def classify_relations(cfg: EngineConfig, geo, gri, gsi) -> np.ndarray:
     done = np.zeros(len(gri), dtype=bool)
     gtr = gtypes[gri]
     gts = gtypes[gsi]
+
+    if april is not None:
+        # APRIL topology filter (J6, src/APRIL/filter.cpp:18-223): sound
+        # conclusive relations skip geometric classification
+        from ..april import april_topology
+        aa_any = np.nonzero(np.isin(gtr, _AREAL) & np.isin(gts, _AREAL))[0]
+        for k in aa_any.tolist():
+            i, j = int(gri[k]), int(gsi[k])
+            a_r, f_r = _april_of(april, i)
+            a_s, f_s = _april_of(april, j)
+            res = april_topology(a_r, f_r, a_s, f_s, int(mbr_cases[k]))
+            if res is not None:
+                rel[k] = res
+                done[k] = True
 
     bb = (gtr == GT_BOX) & (gts == GT_BOX)
     if bb.any():
@@ -416,15 +462,19 @@ def make_join_kernel(cfg: EngineConfig, grid: GridSpec, predicate: str,
         gri, gsi = generate_candidates(t, geo, grid, hot, cfg)
         if len(gri) == 0:
             return schema.empty_table()
+        april = None
+        if "april_all" in t.column_names:
+            april = (*_list_col_np(t, "april_all"),
+                     *_list_col_np(t, "april_full"))
         ids = geo[0]
         if find_rel:
-            rel = classify_relations(cfg, geo, gri, gsi)
+            rel = classify_relations(cfg, geo, gri, gsi, april)
             return pa.table({"r_id": ids[gri], "s_id": ids[gsi],
                              "relation": rel}, schema=REL_SCHEMA)
         if not cfg.refinement:
             keep = np.ones(len(gri), dtype=bool)
         else:
-            keep = refine_mask(cfg, geo, gri, gsi, predicate)
+            keep = refine_mask(cfg, geo, gri, gsi, predicate, april)
         return pa.table({"r_id": ids[gri[keep]], "s_id": ids[gsi[keep]]},
                         schema=PAIR_SCHEMA)
 

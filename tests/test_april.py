@@ -1,0 +1,154 @@
+"""APRIL rasterizer + interval filter tests.
+
+Soundness properties (what the filter relies on):
+* every point of the geometry lies in a cell covered by the A-list;
+* every F-list cell is entirely inside the polygon;
+* filter decisions agree with exact predicates (stage equivalence:
+  intermediate filter on == off == brute-force oracle, SURVEY.md §5).
+"""
+
+import numpy as np
+import pytest
+
+from hecatoncheir_ray.april import (INCONCLUSIVE, TRUE_HIT, TRUE_NEGATIVE,
+                                    april_filter_predicate, intervals_contained,
+                                    intervals_intersect, intervals_match,
+                                    rasterize_geometry)
+from hecatoncheir_ray.geometry import GT_LINESTRING, GT_POINT, GT_POLYGON
+from hecatoncheir_ray.geometry.hilbert import xy2d
+from hecatoncheir_ray.geometry.predicates import points_in_ring
+from hecatoncheir_ray.sources.synth import table_layer
+
+BOUNDS = (0.0, 0.0, 64.0, 64.0)
+ORDER = 6   # 64x64 raster; scale = (64-1)/64
+
+
+def _covered(iv, ids):
+    """bool per id: inside some [s,e) interval."""
+    if len(iv) == 0:
+        return np.zeros(len(ids), dtype=bool)
+    s, e = iv[0::2], iv[1::2]
+    idx = np.searchsorted(s, ids, side="right") - 1
+    ok = (idx >= 0) & (ids < e[np.clip(idx, 0, len(e) - 1)])
+    return ok
+
+
+def _cell_of(pts):
+    cpd = 1 << ORDER
+    sc = (cpd - 1) / 64.0
+    cx = np.clip((pts[:, 0] * sc).astype(np.int64), 0, cpd - 1)
+    cy = np.clip((pts[:, 1] * sc).astype(np.int64), 0, cpd - 1)
+    return xy2d(ORDER, cx, cy)
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_rasterize_polygon_soundness(seed):
+    rng = np.random.default_rng(seed)
+    t = table_layer("polygons", 1, seed=seed, bounds=(16, 16, 48, 48),
+                    min_edge=6.0, max_edge=14.0, min_v=5, max_v=12)
+    coords = np.asarray(t["coords"][0].as_py())
+    ring = coords.reshape(-1, 2)
+    a, f = rasterize_geometry(GT_POLYGON, coords, BOUNDS, ORDER)
+    assert len(a) >= 2 and len(a) % 2 == 0 and len(f) % 2 == 0
+    # interior sample points -> cells covered by ALL
+    lo, hi = ring.min(0), ring.max(0)
+    pts = rng.uniform(lo, hi, size=(3000, 2))
+    inside = points_in_ring(pts, ring) == 1
+    ids = _cell_of(pts[inside])
+    assert _covered(a, ids).all()
+    # boundary points (edge midpoints) covered by ALL
+    mids = (ring + np.roll(ring, -1, axis=0)) / 2
+    assert _covered(a, _cell_of(mids)).all()
+    # FULL cells entirely inside: sample corners+center of each full cell
+    if len(f):
+        cpd = 1 << ORDER
+        sc = 64.0 / (cpd - 1)
+        from hecatoncheir_ray.geometry.hilbert import d2xy
+        full_ids = np.concatenate([np.arange(f[i], f[i + 1])
+                                   for i in range(0, len(f), 2)])
+        cx, cy = d2xy(ORDER, full_ids)
+        for ox, oy in [(0.01, 0.01), (0.99, 0.01), (0.5, 0.5),
+                       (0.01, 0.99), (0.99, 0.99)]:
+            p = np.stack([(cx + ox) * sc, (cy + oy) * sc], axis=1)
+            assert (points_in_ring(p, ring) == 1).all()
+        # FULL disjoint from... FULL ⊆ ALL by construction
+        assert intervals_contained(f, a)
+
+
+def test_rasterize_point_and_line():
+    a, f = rasterize_geometry(GT_POINT, np.array([10.0, 20.0]),
+                              BOUNDS, ORDER)
+    assert len(a) == 2 and len(f) == 0
+    ids = _cell_of(np.array([[10.0, 20.0]]))
+    assert _covered(a, ids).all()
+    line = np.array([5.0, 5.0, 40.0, 30.0, 10.0, 50.0])
+    a, f = rasterize_geometry(GT_LINESTRING, line, BOUNDS, ORDER)
+    assert len(f) == 0
+    pts = line.reshape(-1, 2)
+    for t in np.linspace(0, 1, 50):
+        for i in range(len(pts) - 1):
+            p = pts[i] + t * (pts[i + 1] - pts[i])
+            assert _covered(a, _cell_of(p[None, :])).all()
+
+
+def test_interval_ops():
+    a = np.array([2, 5, 9, 12], dtype=np.uint32)
+    b = np.array([5, 9], dtype=np.uint32)
+    c = np.array([0, 20], dtype=np.uint32)
+    assert not intervals_intersect(a, b)        # [s,e) touching != overlap
+    assert intervals_intersect(a, c)
+    assert intervals_contained(a, c)
+    assert not intervals_contained(c, a)
+    assert intervals_match(a, a.copy())
+    assert not intervals_match(a, b)
+
+
+def test_filter_decisions_vs_exact():
+    """Filter never contradicts the exact predicate on random polygon pairs."""
+    from hecatoncheir_ray.geometry import eval_predicate
+    t1 = table_layer("polygons", 30, seed=3, bounds=(8, 8, 56, 56),
+                     min_edge=6.0, max_edge=12.0, min_v=4, max_v=10)
+    rows = t1.to_pylist()
+    aprils = [rasterize_geometry(GT_POLYGON, np.asarray(r["coords"]),
+                                 BOUNDS, ORDER) for r in rows]
+    checked = {TRUE_HIT: 0, TRUE_NEGATIVE: 0, INCONCLUSIVE: 0}
+    for i, a in enumerate(rows):
+        for j, b in enumerate(rows):
+            for pred in ["intersects", "disjoint", "covered_by", "covers",
+                         "inside", "contains", "equal", "meet"]:
+                dec = april_filter_predicate(pred, *aprils[i], *aprils[j])
+                checked[dec] = checked.get(dec, 0) + 1
+                if dec != INCONCLUSIVE:
+                    exact = eval_predicate(pred, GT_POLYGON,
+                                           np.asarray(a["coords"]),
+                                           GT_POLYGON,
+                                           np.asarray(b["coords"]))
+                    assert exact == (dec == TRUE_HIT), \
+                        (pred, i, j, dec, exact)
+    # the filter must actually decide a meaningful share
+    assert checked[TRUE_HIT] > 0 and checked[TRUE_NEGATIVE] > 0
+
+
+def test_join_stage_equivalence(ray_session):
+    """intermediate filter on == off for every predicate (SURVEY §5)."""
+    import ray.data as rd
+    from hecatoncheir_ray import EngineConfig, spatial_join
+    KW = dict(bounds=(0.0, 0.0, 100.0, 50.0), min_edge=2.0, max_edge=12.0,
+              min_v=4, max_v=12)
+    tr = table_layer("polygons", 100, seed=7, **KW)
+    ts = table_layer("polygons", 100, seed=8, **KW)
+    for pred in ["intersects", "covered_by", "equal", "meet",
+                 "find_relation"]:
+        outs = []
+        for flt in (False, True):
+            cfg = EngineConfig(dataspace=(0, 0, 100, 50), ppd=8,
+                               intermediate_filter=flt, april_n=8)
+            ds = spatial_join(rd.from_arrow(tr), rd.from_arrow(ts),
+                              pred, cfg)
+            rows = ds.take_all()
+            if pred == "find_relation":
+                outs.append(sorted((r["r_id"], r["s_id"], r["relation"])
+                                   for r in rows))
+            else:
+                outs.append(sorted((r["r_id"], r["s_id"]) for r in rows))
+        assert outs[0] == outs[1], pred
