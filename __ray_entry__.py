@@ -55,13 +55,36 @@ _POLY_KW = dict(min_edge=0.3, max_edge=1.5, min_v=5, max_v=16)
 
 
 def entry() -> Any:
-    """Flagship at sf0.001: geotag points (from events) x region boxes (from
-    orders), covered_by join -> pairs Dataset."""
+    """Flagship at sf0.001: the north-star image pipeline end-to-end —
+    synthesize the image+caption table (real PNG bytes, input_hint schema),
+    derive geotags, spatial-join them against region boxes (from orders),
+    and re-attach the caption payload by image id after the shuffle."""
+    import pyarrow as pa
     from hecatoncheir_ray import spatial_join
+    from hecatoncheir_ray.sources.images import geotag_table, ray_image_table
+
     sf_dir = "/root/testdata/sf0.001"
-    pts = derive.ray_points_events(sf_dir)
+    n_images = 1000
+    imgs = ray_image_table(n_images, seed=42)
+
+    def geos(t: pa.Table) -> pa.Table:
+        return geotag_table(t, seed=42)
+
+    geo = imgs.map_batches(geos, batch_format="pyarrow")
     boxes = derive.ray_boxes_orders(sf_dir)
-    return spatial_join(pts, boxes, "covered_by", _cfg(ppd=32))
+    pairs = spatial_join(geo, boxes, "covered_by", _cfg(ppd=32))
+    # payload re-attach: only (image_id, caption) rides the hash join —
+    # never the image bytes (SURVEY §7.4 wide rows)
+    def key(t: pa.Table) -> pa.Table:
+        idx = np.array([int(s[3:]) for s in t["image_id"].to_pylist()],
+                       dtype=np.int64)
+        return pa.table({"r_id": pa.array(idx), "image_id": t["image_id"],
+                         "caption": t["caption"]})
+
+    payload = imgs.map_batches(key, batch_format="pyarrow",
+                               batch_size=256)
+    return pairs.join(payload, join_type="inner", num_partitions=8,
+                      on=("r_id",))
 
 
 # ---------------------------------------------------------------------------
@@ -149,6 +172,45 @@ def _q_poly_line_join_pairs(sf_dir: str):
     return spatial_join(p, ln, "intersects", _cfg())
 
 
+# --- tiling (north rule: raster<->vector tile assignment) -------------------
+
+_TILE_PPD = 32
+
+
+def _tile_grid():
+    from hecatoncheir_ray.config import GridSpec
+    return GridSpec(*TIGER_US_BOUNDS, ppd=_TILE_PPD)
+
+
+def _q_tile_assignment_points(sf_dir: str):
+    from hecatoncheir_ray.pipelines.tiling import tile_assignments
+    return tile_assignments(derive.ray_points_events(sf_dir), _tile_grid())
+
+
+def _q_tile_counts_points(sf_dir: str):
+    from hecatoncheir_ray.pipelines.tiling import (tile_assignments,
+                                                   tile_counts)
+    return tile_counts(
+        tile_assignments(derive.ray_points_events(sf_dir), _tile_grid()),
+        _tile_grid())
+
+
+def _q_image_tile_assignments(sf_dir: str):
+    """Image table -> tile per image via deterministic geotag (rows-only:
+    image synthesis is not SQL-expressible)."""
+    from hecatoncheir_ray.pipelines.tiling import image_tile_assignments
+    from hecatoncheir_ray.sources.images import ray_image_table
+    return image_tile_assignments(ray_image_table(500, seed=42),
+                                  _tile_grid())
+
+
+def _q_image_verify(sf_dir: str):
+    """Per-row input_hint invariant: decode PSNR + caption equality."""
+    from hecatoncheir_ray.sources.images import make_verify_fn, ray_image_table
+    return ray_image_table(300, seed=42).map_batches(
+        make_verify_fn(42), batch_format="pyarrow", batch_size=64)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "box_join_pairs": _q_box_join_pairs,
@@ -162,6 +224,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "poly_join_pairs": _q_poly_join_pairs,
         "poly_find_relation_counts": _q_poly_find_relation_counts,
         "poly_line_join_pairs": _q_poly_line_join_pairs,
+        "tile_assignment_points": _q_tile_assignment_points,
+        "tile_counts_points": _q_tile_counts_points,
+        "image_tile_assignments": _q_image_tile_assignments,
+        "image_verify": _q_image_verify,
     }
 
 
@@ -237,4 +303,23 @@ def oracle_sql() -> dict[str, str]:
             WITH p AS ({pts})
             SELECT MIN(x) AS minx, MIN(y) AS miny,
                    MAX(x) AS maxx, MAX(y) AS maxy FROM p""",
+        "tile_assignment_points": f"""
+            WITH p AS ({pts})
+            SELECT id, {_tile_sql()} AS tile_id FROM p""",
+        "tile_counts_points": f"""
+            WITH p AS ({pts})
+            SELECT {_tile_sql()} AS tile_id, COUNT(*) AS n FROM p
+            GROUP BY 1""",
     }
+
+
+def _tile_sql() -> str:
+    """point -> row-major tile id, bit-identical to grid.point_cell."""
+    g = _tile_grid()
+    cw, ch = repr(g.cell_w), repr(g.cell_h)
+    p = _TILE_PPD
+    cx = (f"LEAST(GREATEST(CAST(FLOOR((x - ({g.minx!r})) / {cw}) "
+          f"AS BIGINT), 0), {p - 1})")
+    cy = (f"LEAST(GREATEST(CAST(FLOOR((y - ({g.miny!r})) / {ch}) "
+          f"AS BIGINT), 0), {p - 1})")
+    return f"({cy}) * {p} + ({cx})"

@@ -79,5 +79,7 @@ def test_rows_only_queries_run(ray_session, entrymod):
 def test_entry_smoke(ray_session, entrymod):
     res = entrymod.entry()
     df = _to_pandas(res)
-    assert len(df) >= 0
-    assert set(df.columns) == {"r_id", "s_id"}
+    assert len(df) > 0
+    assert {"r_id", "s_id", "image_id", "caption"} <= set(df.columns)
+    # payload re-attach consistent: image_id matches the joined row index
+    assert (df["image_id"] == df["r_id"].map(lambda i: f"img{i:08d}")).all()

@@ -1,0 +1,148 @@
+"""Image table synthesis, PNG codec, decode/verify/resize/patch stages,
+geotags and tiling."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from hecatoncheir_ray.config import GridSpec
+from hecatoncheir_ray.sources.images import (DecodeImages, JpegNotSupported,
+                                             PatchImages, ResizeImages,
+                                             ahash64, geotag_table,
+                                             make_verify_fn, png_decode,
+                                             png_encode, psnr,
+                                             ray_image_table,
+                                             synth_image_rows, synth_pixels)
+
+
+def test_png_roundtrip():
+    rng = np.random.default_rng(0)
+    px = rng.integers(0, 256, size=(33, 47, 3), dtype=np.uint8)
+    buf = png_encode(px)
+    assert buf[:8] == b"\x89PNG\r\n\x1a\n"
+    back = png_decode(buf)
+    np.testing.assert_array_equal(px, back)
+    assert psnr(px, back) == float("inf")
+
+
+def test_png_decode_filters():
+    """Decoder handles filters 1-4 (foreign encoders use them)."""
+    px = np.arange(24 * 24 * 3, dtype=np.uint8).reshape(24, 24, 3)
+    import struct
+    import zlib
+    h, w, _ = px.shape
+    bpp = 3
+    lines = []
+    for y in range(h):
+        f = [1, 2, 3, 4][y % 4]
+        cur = px[y].reshape(-1).astype(np.int32)
+        prev = px[y - 1].reshape(-1).astype(np.int32) if y else \
+            np.zeros(w * 3, np.int32)
+        enc = np.zeros(w * 3, dtype=np.uint8)
+        for x in range(w * 3):
+            a = cur[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            if f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc) else \
+                    (b if pb <= pc else c)
+            enc[x] = (cur[x] - pred) & 0xFF
+        lines.append(bytes([f]) + enc.tobytes())
+    from hecatoncheir_ray.sources.images import _PNG_SIG, _chunk
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    buf = (_PNG_SIG + _chunk(b"IHDR", ihdr)
+           + _chunk(b"IDAT", zlib.compress(b"".join(lines)))
+           + _chunk(b"IEND", b""))
+    np.testing.assert_array_equal(png_decode(buf), px)
+
+
+def test_synth_rows_deterministic():
+    t1 = synth_image_rows(np.array([5, 17, 99]))
+    t2a = synth_image_rows(np.array([17]))
+    r1 = t1.to_pylist()[1]
+    r2 = t2a.to_pylist()[0]
+    assert r1["bytes"] == r2["bytes"]
+    assert r1["caption"] == r2["caption"] and r1["phash"] == r2["phash"]
+    assert r1["image_id"] == "img00000017"
+    # schema matches input_hint exactly
+    assert [f.name for f in t1.schema] == ["image_id", "bytes", "w", "h",
+                                           "fmt", "caption", "phash"]
+    # phash consistent with pixels
+    px = png_decode(r1["bytes"])
+    assert ahash64(px) == r1["phash"]
+
+
+def test_ray_image_pipeline(ray_session):
+    ds = ray_image_table(64, seed=42)
+    decoded = ds.map_batches(DecodeImages, batch_format="pyarrow",
+                             batch_size=16, concurrency=2)
+    rows = decoded.take_all()
+    assert len(rows) == 64
+    assert all(len(r["pixels"]) == r["w"] * r["h"] * 3 for r in rows)
+    # per-row invariant: PSNR>=40 + caption equality (input_hint)
+    ver = ray_image_table(64, seed=42).map_batches(
+        make_verify_fn(42), batch_format="pyarrow", batch_size=16)
+    vr = ver.take_all()
+    assert all(r["psnr_ok"] and r["caption_ok"] for r in vr)
+    assert all(r["psnr_db"] >= 40 for r in vr)
+
+
+def test_jpeg_stub():
+    t = synth_image_rows(np.array([1]))
+    t = t.set_column(4, "fmt", pa.array(["jpeg"]))
+    with pytest.raises(JpegNotSupported):
+        DecodeImages()(t)
+    out = DecodeImages(skip_undecodable=True)(t)
+    assert len(out) == 0
+
+
+def test_resize_and_patch():
+    t = synth_image_rows(np.array([3, 4]))
+    small = ResizeImages(16, 16)(t)
+    assert small["w"].to_pylist() == [16, 16]
+    px = png_decode(small["bytes"][0].as_py())
+    assert px.shape == (16, 16, 3)
+    patches = PatchImages(grid=2)(t)
+    assert len(patches) == 8      # 2 images x 2x2
+    r0 = t.to_pylist()[0]
+    got = [p for p in patches.to_pylist() if p["image_id"] == r0["image_id"]]
+    assert sum(p["w"] for p in got if p["patch_y"] == 0) == r0["w"]
+
+
+def test_geotag_and_tiling(ray_session):
+    import ray.data as rd
+    from hecatoncheir_ray.pipelines.tiling import (image_tile_assignments,
+                                                   tile_assignments,
+                                                   tile_counts, tile_cover)
+    t = synth_image_rows(np.arange(50))
+    g = geotag_table(t)
+    assert len(g) == 50
+    grid = GridSpec(-125.3, 24.0, -66.4, 49.9, ppd=16)
+    ds = rd.from_arrow(g)
+    asn = tile_assignments(ds, grid).take_all()
+    assert len(asn) == 50
+    assert all(0 <= r["tile_id"] < 256 for r in asn)
+    cnt = tile_counts(rd.from_arrow(
+        pa.table({"id": pa.array(np.arange(50, dtype=np.int64)),
+                  "tile_id": pa.array([r["tile_id"] for r in asn],
+                                      pa.int64())})), grid)
+    assert cnt["n"].sum() == 50
+    # image-level assignment matches geotag assignment
+    ia = image_tile_assignments(rd.from_arrow(t), grid).take_all()
+    by_idx = {int(r["image_id"][3:]): r["tile_id"] for r in ia}
+    for r, a in zip(g.to_pylist(), asn):
+        assert by_idx[r["id"]] == a["tile_id"]
+    # polygon tile cover: each polygon covers >=1 tile, count matches explode
+    from hecatoncheir_ray.sources.synth import table_layer
+    polys = table_layer("polygons", 20, seed=5, bounds=(-120, 30, -80, 45),
+                        min_edge=1.0, max_edge=5.0, min_v=4, max_v=8)
+    cov = tile_cover(rd.from_arrow(polys), grid).take_all()
+    assert len(cov) >= 20
