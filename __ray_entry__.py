@@ -29,6 +29,9 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 from hecatoncheir_ray.config import EngineConfig, TIGER_US_BOUNDS  # noqa: E402
+from hecatoncheir_ray.functions import dedup as _dedup  # noqa: E402
+from hecatoncheir_ray.functions import simsearch as _simsearch  # noqa: E402
+from hecatoncheir_ray.functions import text as _text  # noqa: E402
 from hecatoncheir_ray.geometry import GT_BOX  # noqa: E402
 from hecatoncheir_ray.sources import derive  # noqa: E402
 from hecatoncheir_ray.sources.synth import ray_layer  # noqa: E402
@@ -211,6 +214,67 @@ def _q_image_verify(sf_dir: str):
         make_verify_fn(42), batch_format="pyarrow", batch_size=64)
 
 
+# --- training-data operators: text analysis / dedup / similarity search ----
+
+def _docs(sf_dir):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _vecs(sf_dir):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_doc_stats(sf_dir: str):
+    from hecatoncheir_ray.functions.text import ray_text_stats
+    return ray_text_stats(_docs(sf_dir))
+
+
+def _q_doc_lang_id(sf_dir: str):
+    from hecatoncheir_ray.functions.text import ray_lang_id
+    return ray_lang_id(_docs(sf_dir))
+
+
+def _q_doc_fingerprints(sf_dir: str):
+    from hecatoncheir_ray.functions.text import ray_fingerprints
+    return ray_fingerprints(_docs(sf_dir))
+
+
+def _q_exact_dedup(sf_dir: str):
+    from hecatoncheir_ray.functions.dedup import exact_dedup_groups
+    return exact_dedup_groups(_docs(sf_dir))
+
+
+def _q_ann_topk_ip(sf_dir: str):
+    from hecatoncheir_ray.functions.simsearch import topk_ip_quantized
+    return topk_ip_quantized(_vecs(sf_dir), [0, 1, 2], k=10)
+
+
+def _q_minhash_near_dups(sf_dir: str):
+    from hecatoncheir_ray.functions.dedup import minhash_near_dups
+    return minhash_near_dups(_docs(sf_dir), threshold=0.6)
+
+
+def _q_simhash_near_dups(sf_dir: str):
+    from hecatoncheir_ray.functions.dedup import simhash_near_dups
+    return simhash_near_dups(_docs(sf_dir), max_hamming=3)
+
+
+def _q_embedding_near_dups(sf_dir: str):
+    from hecatoncheir_ray.functions.dedup import embedding_near_dups
+    return embedding_near_dups(_vecs(sf_dir), threshold=0.95)
+
+
+def _q_ann_topk_cosine(sf_dir: str):
+    from hecatoncheir_ray.functions.simsearch import topk_cosine_brute
+    rows = _vecs(sf_dir).take(3)
+    q = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                  for r in rows])
+    out = topk_cosine_brute(_vecs(sf_dir), q, k=10)
+    return out[["query_id", "vec_id"]]   # drop float score for stability
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "box_join_pairs": _q_box_join_pairs,
@@ -228,6 +292,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_counts_points": _q_tile_counts_points,
         "image_tile_assignments": _q_image_tile_assignments,
         "image_verify": _q_image_verify,
+        "doc_stats": _q_doc_stats,
+        "doc_lang_id": _q_doc_lang_id,
+        "doc_fingerprints": _q_doc_fingerprints,
+        "exact_dedup": _q_exact_dedup,
+        "ann_topk_ip": _q_ann_topk_ip,
+        "minhash_near_dups": _q_minhash_near_dups,
+        "simhash_near_dups": _q_simhash_near_dups,
+        "embedding_near_dups": _q_embedding_near_dups,
+        "ann_topk_cosine": _q_ann_topk_cosine,
     }
 
 
@@ -310,6 +383,11 @@ def oracle_sql() -> dict[str, str]:
             WITH p AS ({pts})
             SELECT {_tile_sql()} AS tile_id, COUNT(*) AS n FROM p
             GROUP BY 1""",
+        "doc_stats": _text.text_stats_sql(),
+        "doc_lang_id": _text.lang_id_sql(),
+        "doc_fingerprints": _text.FINGERPRINTS_SQL,
+        "exact_dedup": _dedup.EXACT_DEDUP_SQL,
+        "ann_topk_ip": _simsearch.topk_ip_quantized_sql([0, 1, 2], k=10),
     }
 
 

@@ -1,0 +1,180 @@
+"""Similarity search over an embedding column (list<float>).
+
+* Brute-force top-k: the query matrix is broadcast once (ray.put) and every
+  batch does ONE numpy matmul; per-batch local top-k then a tiny driver
+  merge — exact, no shuffle.
+* Quantized inner-product variant (``topk_ip_quantized``): scores are
+  int64 dot products of FLOOR(v*10000+0.5) quantized vectors, bit-identical
+  to the DuckDB oracle (float matmul ties are engine-dependent; integers
+  are not).
+* LSH-bucketed variant (``topk_cosine_lsh``): random-hyperplane buckets
+  with multiprobe-by-band — the scale path; recall measured in tests.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+
+def _emb_matrix(df: pd.DataFrame) -> np.ndarray:
+    return np.stack(df["embedding"].to_numpy()).astype(np.float64)
+
+
+def _merge_topk(parts: list[tuple], k: int, by_score_desc=True):
+    """parts: (query_id, vec_id, score) tuples -> per-query top-k rows."""
+    best: dict[int, list] = {}
+    for qid, vid, sc in parts:
+        best.setdefault(qid, []).append((-sc, vid))
+    rows = []
+    for qid in sorted(best):
+        for negsc, vid in sorted(best[qid])[:k]:
+            rows.append((qid, vid, -negsc))
+    return rows
+
+
+def topk_ip_quantized(vecs: Dataset, query_ids: list[int],
+                      k: int = 10) -> pd.DataFrame:
+    """Exact top-k by quantized inner product (MIPS).
+
+    score = sum_i floor(a_i*1e4+0.5) * floor(b_i*1e4+0.5)  (int64, exact).
+    Ties broken by vec_id ascending.  -> (query_id, vec_id)."""
+    wanted = pa.array(sorted(set(query_ids)), type=pa.int64())
+
+    def pick(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pc.is_in(t["vec_id"], value_set=wanted))
+
+    qrows = {int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64)
+             for r in vecs.map_batches(pick,
+                                       batch_format="pyarrow").take_all()}
+    Q = np.stack([np.floor(qrows[q] * 10000 + 0.5) for q in query_ids]) \
+        .astype(np.int64)
+    qids = list(query_ids)
+    q_ref = ray.put(Q)
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        Qm = ray.get(q_ref)
+        emb = np.floor(_emb_matrix(df) * 10000 + 0.5).astype(np.int64)
+        scores = emb @ Qm.T                       # (n, Q) int64
+        vid = df["vec_id"].to_numpy().astype(np.int64)
+        out_q, out_v, out_s = [], [], []
+        kk = min(k, len(df))
+        for qi in range(scores.shape[1]):
+            # top-k by (score desc, vec_id asc)
+            order = np.lexsort((vid, -scores[:, qi]))[:kk]
+            out_q.extend([qids[qi]] * len(order))
+            out_v.extend(vid[order])
+            out_s.extend(scores[order, qi])
+        return pd.DataFrame({"query_id": np.array(out_q, dtype=np.int64),
+                             "vec_id": np.array(out_v, dtype=np.int64),
+                             "score": np.array(out_s, dtype=np.int64)})
+
+    parts = vecs.map_batches(local_topk, batch_format="pandas").take_all()
+    best: dict[int, list] = {}
+    for r in parts:
+        best.setdefault(int(r["query_id"]), []).append(
+            (-int(r["score"]), int(r["vec_id"])))
+    rows = []
+    for qid in qids:
+        for negsc, vid in sorted(best.get(qid, []))[:k]:
+            rows.append((qid, vid))
+    return pd.DataFrame(rows, columns=["query_id", "vec_id"]) \
+        .astype(np.int64)
+
+
+def topk_ip_quantized_sql(query_ids: list[int], k: int = 10) -> str:
+    ids = ", ".join(str(q) for q in query_ids)
+    return f"""
+        WITH E AS (
+            SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                   CAST(FLOOR(unnest(embedding) * 10000 + 0.5) AS BIGINT)
+                       AS q
+            FROM embeddings),
+        QS AS (SELECT vec_id AS query_id, i, q FROM E
+               WHERE vec_id IN ({ids})),
+        SC AS (SELECT QS.query_id, E.vec_id,
+                      SUM(QS.q * E.q) AS score
+               FROM QS JOIN E USING (i) GROUP BY 1, 2)
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, vec_id) AS rn
+            FROM SC) WHERE rn <= {k}
+    """
+
+
+def topk_cosine_brute(vecs: Dataset, queries: np.ndarray,
+                      k: int = 10) -> pd.DataFrame:
+    """Exact cosine top-k: broadcast normalized query matrix, one matmul
+    per batch, driver merge.  queries: (Q, dim)."""
+    Qn = queries / np.maximum(
+        np.linalg.norm(queries, axis=1, keepdims=True), 1e-300)
+    q_ref = ray.put(Qn)
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        Qm = ray.get(q_ref)
+        emb = _emb_matrix(df)
+        emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True),
+                               1e-300)
+        scores = emb @ Qm.T
+        vid = df["vec_id"].to_numpy().astype(np.int64)
+        kk = min(k, len(df))
+        out = []
+        for qi in range(scores.shape[1]):
+            order = np.lexsort((vid, -scores[:, qi]))[:kk]
+            out.extend((qi, int(vid[o]), float(scores[o, qi]))
+                       for o in order)
+        return pd.DataFrame(out, columns=["query_id", "vec_id", "score"])
+
+    parts = [(int(r["query_id"]), int(r["vec_id"]), float(r["score"]))
+             for r in vecs.map_batches(local_topk,
+                                       batch_format="pandas").take_all()]
+    rows = _merge_topk(parts, k)
+    return pd.DataFrame(rows, columns=["query_id", "vec_id", "score"])
+
+
+def topk_cosine_lsh(vecs: Dataset, queries: np.ndarray, k: int = 10,
+                    planes: int = 16, seed: int = 11) -> pd.DataFrame:
+    """Approximate cosine top-k: hyperplane LSH prefilter (candidates =
+    rows sharing >= 1 of 4 signature bands with the query), exact rescore.
+
+    The scale path: the filter drops most rows before the matmul; recall
+    vs brute force is measured in tests (not guaranteed 1.0)."""
+    rng = np.random.default_rng(seed)
+    first = vecs.take(1)[0]
+    dim = len(first["embedding"])
+    H = rng.standard_normal((dim, planes))
+    bands = 4
+    r = planes // bands
+    Qbits = (queries @ H) > 0
+    qkeys = set()
+    for qi in range(len(queries)):
+        for b in range(bands):
+            qkeys.add((b, np.packbits(Qbits[qi, b * r:(b + 1) * r])
+                       .tobytes()))
+    keys_ref = ray.put(qkeys)
+    h_ref = ray.put(H)
+
+    def prefilter(df: pd.DataFrame) -> pd.DataFrame:
+        Hm = ray.get(h_ref)
+        keys = ray.get(keys_ref)
+        emb = _emb_matrix(df)
+        bits = (emb @ Hm) > 0
+        keep = np.zeros(len(df), dtype=bool)
+        for i in range(len(df)):
+            for b in range(bands):
+                if (b, np.packbits(bits[i, b * r:(b + 1) * r])
+                        .tobytes()) in keys:
+                    keep[i] = True
+                    break
+        return df[keep]
+
+    cands = vecs.map_batches(prefilter, batch_format="pandas")
+    return topk_cosine_brute(cands, queries, k)

@@ -1,0 +1,183 @@
+"""Text analysis for training-data pipelines: token counting, quality
+scoring, language-ID heuristic, document fingerprinting.
+
+Every operator ships in two forms:
+* a vectorized Ray stage (``map_batches`` over pandas/arrow), and
+* for the driver's correctness gate, an exact ANSI-SQL twin
+  (``*_SQL`` strings) whose arithmetic is written to be bit-identical
+  (integer scores, fixed marker lists, md5 fingerprints).
+
+Stats columns are integers on purpose: float ratios would make the value
+hash fragile across engines; the integer forms (x1000 scaled, counts) are
+exact in both.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+
+_WS = re.compile(r"\s")
+
+# language marker tokens (padded-space matching), fixed priority order for
+# argmax ties: en > de > fr > es > zh
+LANG_MARKERS = {
+    "en": ["the", "a", "value", "row"],
+    "de": ["der", "und", "tabelle", "wert"],
+    "fr": ["le", "et", "valeur", "ligne"],
+    "es": ["el", "y", "valor", "fila"],
+    "zh": ["big", "merge", "window", "join"],
+}
+LANG_ORDER = ["en", "de", "fr", "es", "zh"]
+
+STOPWORDS = ["the", "a", "and", "of", "to"]
+
+
+def _count_sub(padded: pd.Series, token: str) -> pd.Series:
+    pat = f" {token} "
+    return ((padded.str.len() - padded.str.replace(pat, "", regex=False)
+             .str.len()) // len(pat)).astype(np.int64)
+
+
+def text_stats(df: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, text) -> integer stats columns."""
+    text = df["text"].fillna("")
+    stripped = text.str.strip()
+    token_count = stripped.str.split().str.len().fillna(0).astype(np.int64)
+    token_count = token_count.where(stripped.str.len() > 0, 0)
+    char_count = text.str.len().astype(np.int64)
+    token_chars = text.str.replace(_WS, "", regex=True).str.len() \
+        .astype(np.int64)
+    quality = (token_chars * 1000) // np.maximum(char_count, 1)
+    padded = " " + text.str.lower() + " "
+    stop_count = sum(_count_sub(padded, t) for t in STOPWORDS) \
+        .astype(np.int64)
+    return pd.DataFrame({
+        "doc_id": df["doc_id"].astype(np.int64),
+        "token_count": token_count,
+        "char_count": char_count,
+        "token_chars": token_chars,
+        "quality_x1000": quality.astype(np.int64),
+        "stop_count": stop_count,
+    })
+
+
+TEXT_STATS_SQL = """
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+               AS token_count,
+           length(text) AS char_count,
+           length(regexp_replace(text, '\\s', '', 'g')) AS token_chars,
+           CAST(FLOOR((length(regexp_replace(text, '\\s', '', 'g'))
+                       * 1000.0)
+                      / GREATEST(length(text), 1)) AS BIGINT)
+               AS quality_x1000,
+           {stop_expr} AS stop_count
+    FROM documents
+"""
+
+
+def _sql_count_sub(token: str) -> str:
+    pat = f" {token} "
+    return (f"(length(' ' || lower(text) || ' ') - "
+            f"length(replace(' ' || lower(text) || ' ', '{pat}', '')))"
+            f" / {len(pat)}")
+
+
+def text_stats_sql() -> str:
+    stop = " + ".join(_sql_count_sub(t) for t in STOPWORDS)
+    return TEXT_STATS_SQL.format(stop_expr=f"CAST({stop} AS BIGINT)")
+
+
+def lang_id(df: pd.DataFrame) -> pd.DataFrame:
+    """Marker-count language heuristic, deterministic priority tiebreak."""
+    padded = " " + df["text"].fillna("").str.lower() + " "
+    counts = {}
+    for lang in LANG_ORDER:
+        c = sum(_count_sub(padded, t) for t in LANG_MARKERS[lang])
+        counts[lang] = c.astype(np.int64)
+    best = pd.Series("en", index=df.index)
+    best_n = counts["en"].copy()
+    for lang in LANG_ORDER[1:]:
+        better = counts[lang] > best_n
+        best = best.where(~better, lang)
+        best_n = best_n.where(~better, counts[lang])
+    return pd.DataFrame({"doc_id": df["doc_id"].astype(np.int64),
+                         "lang_guess": best})
+
+
+def lang_id_sql() -> str:
+    exprs = {lang: "(" + " + ".join(_sql_count_sub(t)
+                                    for t in LANG_MARKERS[lang]) + ")"
+             for lang in LANG_ORDER}
+    # strict > against current best, in priority order == argmax-first-wins
+    cond_de = f"{exprs['de']} > {exprs['en']}"
+    cond_fr = (f"{exprs['fr']} > GREATEST({exprs['en']}, {exprs['de']})")
+    cond_es = (f"{exprs['es']} > GREATEST({exprs['en']}, {exprs['de']}, "
+               f"{exprs['fr']})")
+    cond_zh = (f"{exprs['zh']} > GREATEST({exprs['en']}, {exprs['de']}, "
+               f"{exprs['fr']}, {exprs['es']})")
+    return f"""
+        SELECT doc_id,
+               CASE WHEN {cond_zh} THEN 'zh'
+                    WHEN {cond_es} THEN 'es'
+                    WHEN {cond_fr} THEN 'fr'
+                    WHEN {cond_de} THEN 'de'
+                    ELSE 'en' END AS lang_guess
+        FROM documents
+    """
+
+
+def fingerprints(df: pd.DataFrame) -> pd.DataFrame:
+    """md5 content fingerprint (exact-dedup key; SQL twin: md5(text))."""
+    fp = df["text"].fillna("").map(
+        lambda s: hashlib.md5(s.encode("utf-8")).hexdigest())
+    return pd.DataFrame({"doc_id": df["doc_id"].astype(np.int64),
+                         "fp": fp})
+
+
+FINGERPRINTS_SQL = "SELECT doc_id, md5(text) AS fp FROM documents"
+
+
+def rolling_fingerprint(text: str, window: int = 16,
+                        base: int = 257, mod: int = (1 << 61) - 1
+                        ) -> np.ndarray:
+    """Rabin-Karp rolling hashes of every ``window``-byte span (library
+    function for content-defined chunking; tested against a naive oracle)."""
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8) \
+        .astype(np.int64)
+    n = len(data)
+    if n < window:
+        return np.zeros(0, dtype=np.int64)
+    out = np.empty(n - window + 1, dtype=np.int64)
+    h = 0
+    for i in range(window):
+        h = (h * base + int(data[i])) % mod
+    out[0] = h
+    top = pow(base, window - 1, mod)
+    for i in range(1, n - window + 1):
+        h = ((h - int(data[i - 1]) * top) * base + int(data[i + window - 1])) % mod
+        out[i] = h % mod
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Ray wrappers
+# ---------------------------------------------------------------------------
+
+def _pandas_stage(fn):
+    def stage(ds: Dataset) -> Dataset:
+        return ds.map_batches(fn, batch_format="pandas")
+    return stage
+
+
+ray_text_stats = _pandas_stage(text_stats)
+ray_lang_id = _pandas_stage(lang_id)
+ray_fingerprints = _pandas_stage(fingerprints)

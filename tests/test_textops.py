@@ -1,0 +1,191 @@
+"""Text analysis, dedup, and similarity-search operators vs oracles."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+
+def _docs_ds():
+    return rd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+def _vecs_ds():
+    return rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def _corpus_with_dupes(n=60, seed=5):
+    """Synthetic corpus with planted near/exact duplicates."""
+    rng = np.random.default_rng(seed)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+             "theta", "iota", "kappa"]
+    texts, ids = [], []
+    for i in range(n):
+        base = " ".join(rng.choice(words, 30))
+        texts.append(base)
+        ids.append(3 * i)
+        if i % 4 == 0:       # near-dup: mutate one word
+            toks = base.split()
+            toks[rng.integers(0, len(toks))] = "mutant"
+            texts.append(" ".join(toks))
+            ids.append(3 * i + 1)
+        if i % 7 == 0:       # exact dup
+            texts.append(base)
+            ids.append(3 * i + 2)
+    return pd.DataFrame({"doc_id": np.array(ids, dtype=np.int64),
+                         "text": texts})
+
+
+def test_text_stats_vs_duckdb(ray_session):
+    import duckdb
+    from hecatoncheir_ray.functions.text import (ray_text_stats,
+                                                 text_stats_sql)
+    got = ray_text_stats(_docs_ds()).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                "read_parquet('/root/testdata/sf0.001/documents.parquet')")
+    exp = con.execute(text_stats_sql()).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[sorted(got.columns)],
+                                  exp[sorted(exp.columns)],
+                                  check_dtype=False, check_exact=True)
+
+
+def test_lang_id_and_fingerprints_vs_duckdb(ray_session):
+    import duckdb
+    from hecatoncheir_ray.functions.text import (FINGERPRINTS_SQL,
+                                                 lang_id_sql,
+                                                 ray_fingerprints,
+                                                 ray_lang_id)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                "read_parquet('/root/testdata/sf0.001/documents.parquet')")
+    for stage, sql in [(ray_lang_id, lang_id_sql()),
+                       (ray_fingerprints, FINGERPRINTS_SQL)]:
+        got = stage(_docs_ds()).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        exp = con.execute(sql).df() \
+            .sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_rolling_fingerprint_oracle():
+    from hecatoncheir_ray.functions.text import rolling_fingerprint
+    text = "the quick brown fox jumps over the lazy dog"
+    got = rolling_fingerprint(text, window=8)
+    data = text.encode()
+    mod = (1 << 61) - 1
+    exp = []
+    for i in range(len(data) - 7):
+        h = 0
+        for c in data[i:i + 8]:
+            h = (h * 257 + c) % mod
+        exp.append(h)
+    assert got.tolist() == exp
+
+
+def test_exact_dedup(ray_session):
+    import duckdb
+    from hecatoncheir_ray.functions.dedup import (EXACT_DEDUP_SQL,
+                                                  exact_dedup_groups)
+    df = _corpus_with_dupes()
+    got = exact_dedup_groups(rd.from_pandas(df)).to_pandas() \
+        .sort_values("h").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", df)
+    exp = con.execute(EXACT_DEDUP_SQL).df() \
+        .sort_values("h").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[sorted(got.columns)],
+                                  exp[sorted(exp.columns)],
+                                  check_dtype=False)
+    assert (exp["dup_count"] > 1).any()
+
+
+def test_minhash_vs_brute(ray_session):
+    from hecatoncheir_ray.functions.dedup import (char_shingles, jaccard,
+                                                  minhash_near_dups)
+    df = _corpus_with_dupes()
+    got = minhash_near_dups(rd.from_pandas(df), threshold=0.7)
+    sh = {int(r.doc_id): char_shingles(r.text) for r in df.itertuples()}
+    ids = sorted(sh)
+    exp = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
+           if jaccard(sh[a], sh[b]) >= 0.7]
+    got_pairs = list(zip(got["doc_id_a"], got["doc_id_b"]))
+    # precision exact (verified); recall 1.0 expected for J>=0.7 with
+    # 32 bands x 2 rows on planted dupes
+    assert set(got_pairs) == set(exp)
+    assert len(exp) > 0
+
+
+def test_simhash_exact_for_hamming3(ray_session):
+    from hecatoncheir_ray.functions.dedup import (hamming64,
+                                                  simhash64,
+                                                  simhash_near_dups)
+    df = _corpus_with_dupes()
+    got = simhash_near_dups(rd.from_pandas(df), max_hamming=3)
+    sigs = {int(r.doc_id): simhash64(r.text) for r in df.itertuples()}
+    ids = sorted(sigs)
+    exp = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
+           if hamming64(np.array([sigs[a]]),
+                        np.array([sigs[b]]))[0] <= 3]
+    assert set(zip(got["doc_id_a"], got["doc_id_b"])) == set(exp)
+    assert len(exp) > 0
+
+
+def test_embedding_near_dups(ray_session):
+    from hecatoncheir_ray.functions.dedup import embedding_near_dups
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((40, 16))
+    vecs, ids = [], []
+    for i in range(40):
+        vecs.append(base[i])
+        ids.append(2 * i)
+        if i % 5 == 0:       # planted near-dup
+            vecs.append(base[i] + 0.01 * rng.standard_normal(16))
+            ids.append(2 * i + 1)
+    df = pd.DataFrame({"vec_id": np.array(ids, dtype=np.int64),
+                       "embedding": [v.astype(np.float32).tolist()
+                                     for v in vecs]})
+    got = embedding_near_dups(rd.from_pandas(df), threshold=0.98)
+    norm = {i: np.asarray(v) / np.linalg.norm(v)
+            for i, v in zip(ids, [np.asarray(v, dtype=np.float64)
+                                  for v in df["embedding"]])}
+    exp = [(a, b) for i, a in enumerate(sorted(norm))
+           for b in sorted(norm)[i + 1:]
+           if float(norm[a] @ norm[b]) >= 0.98]
+    assert set(zip(got["vec_id_a"], got["vec_id_b"])) == set(exp)
+    assert len(exp) >= 8
+
+
+def test_topk_ip_quantized_vs_duckdb(ray_session):
+    import duckdb
+    from hecatoncheir_ray.functions.simsearch import (topk_ip_quantized,
+                                                      topk_ip_quantized_sql)
+    got = topk_ip_quantized(_vecs_ds(), [0, 1, 2], k=8) \
+        .sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+                "read_parquet('/root/testdata/sf0.001/embeddings.parquet')")
+    exp = con.execute(topk_ip_quantized_sql([0, 1, 2], k=8)).df() \
+        .sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_topk_cosine_brute_and_lsh(ray_session):
+    from hecatoncheir_ray.functions.simsearch import (topk_cosine_brute,
+                                                      topk_cosine_lsh)
+    rows = _vecs_ds().take_all()
+    queries = np.stack([np.asarray(rows[i]["embedding"], dtype=np.float64)
+                        for i in (0, 5)])
+    brute = topk_cosine_brute(_vecs_ds(), queries, k=10)
+    # query 0's own vector must rank first with score ~1
+    q0 = brute[brute.query_id == 0].iloc[0]
+    assert q0["vec_id"] == rows[0]["vec_id"]
+    assert q0["score"] == pytest.approx(1.0)
+    lsh = topk_cosine_lsh(_vecs_ds(), queries, k=10)
+    # recall of the LSH path vs brute
+    r = len(set(zip(lsh.query_id, lsh.vec_id))
+            & set(zip(brute.query_id, brute.vec_id))) / len(brute)
+    assert r >= 0.5
