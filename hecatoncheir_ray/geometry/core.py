@@ -99,6 +99,63 @@ def box_to_ring(coords: np.ndarray) -> np.ndarray:
     return np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]], dtype=np.float64)
 
 
+def ring_is_simple(ring: np.ndarray) -> bool:
+    """Validity gate mirroring boost::geometry::is_valid for single rings
+    (the reference drops invalid WKT rows at parse, containers.h:956-969):
+    no self-intersections between non-adjacent edges, no degenerate spikes,
+    non-zero area.  Vectorized all-pairs orientation tests."""
+    n = len(ring)
+    if n < 3 or abs(signed_area(ring)) < 1e-300:
+        return False
+    a = ring
+    b = np.roll(ring, -1, axis=0)
+    p1x, p1y = a[:, 0][:, None], a[:, 1][:, None]
+    p2x, p2y = b[:, 0][:, None], b[:, 1][:, None]
+    q1x, q1y = a[:, 0][None, :], a[:, 1][None, :]
+    q2x, q2y = b[:, 0][None, :], b[:, 1][None, :]
+    la = np.hypot(p2x - p1x, p2y - p1y)
+    lb = np.hypot(q2x - q1x, q2y - q1y)
+    e = 1e-12 * np.maximum(np.maximum(la, lb), 1.0)
+
+    def orient(ax, ay, bx, by, cx, cy):
+        return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+    d1 = orient(q1x, q1y, q2x, q2y, p1x, p1y)
+    d2 = orient(q1x, q1y, q2x, q2y, p2x, p2y)
+    d3 = orient(p1x, p1y, p2x, p2y, q1x, q1y)
+    d4 = orient(p1x, p1y, p2x, p2y, q2x, q2y)
+    proper = (((d1 > e) & (d2 < -e)) | ((d1 < -e) & (d2 > e))) \
+        & (((d3 > e) & (d4 < -e)) | ((d3 < -e) & (d4 > e)))
+
+    def on_seg(d, px, py, ax, ay, bx, by):
+        return ((np.abs(d) <= e)
+                & (px >= np.minimum(ax, bx) - 1e-12)
+                & (px <= np.maximum(ax, bx) + 1e-12)
+                & (py >= np.minimum(ay, by) - 1e-12)
+                & (py <= np.maximum(ay, by) + 1e-12))
+
+    touch = (on_seg(d1, p1x, p1y, q1x, q1y, q2x, q2y)
+             | on_seg(d2, p2x, p2y, q1x, q1y, q2x, q2y)
+             | on_seg(d3, q1x, q1y, p1x, p1y, p2x, p2y)
+             | on_seg(d4, q2x, q2y, p1x, p1y, p2x, p2y))
+    hit = proper | touch
+    idx = np.arange(n)
+    nonadj = (np.abs(idx[:, None] - idx[None, :]) > 1) \
+        & (np.abs(idx[:, None] - idx[None, :]) != n - 1)
+    if (hit & nonadj).any():
+        return False
+    # adjacent spike: consecutive edges fold back collinearly
+    v1 = b - a
+    v2 = np.roll(v1, -1, axis=0)
+    cross = v1[:, 0] * v2[:, 1] - v1[:, 1] * v2[:, 0]
+    dot = (v1 * v2).sum(axis=1)
+    scale = np.hypot(v1[:, 0], v1[:, 1]) * np.hypot(v2[:, 0], v2[:, 1])
+    if ((np.abs(cross) <= 1e-12 * np.maximum(scale, 1.0))
+            & (dot < 0)).any():
+        return False
+    return True
+
+
 # ---------------------------------------------------------------------------
 # WKT
 # ---------------------------------------------------------------------------
@@ -134,8 +191,8 @@ def parse_wkt(text: str) -> tuple[int, np.ndarray] | None:
             if len(pts) < 4:
                 return None
             ring = correct_ring(pts)
-            if len(ring) < 3:
-                return None
+            if len(ring) < 3 or not ring_is_simple(ring):
+                return None    # validity gate (containers.h:956-969)
             return GT_POLYGON, pts_to_coords(ring)
         if up.startswith("BOX"):
             body = t[t.index("("):].strip()[1:-1]

@@ -1,0 +1,130 @@
+"""File readers: WKT and CSV geometry sources (reference S1-S5 parity).
+
+* WKT (reference src/env/partitioning.cpp:361-604): one geometry per line
+  (first TSV column), invalid / wrong-type / MULTI* rows skipped, recID =
+  0-based line number (partitioning.cpp:526 uses the line counter even when
+  rows are skipped).
+* CSV (partitioning.cpp:201-354): ``id,x y,x y,...`` rows.
+
+``load_*_table`` are driver-side loaders for small query/golden files;
+``read_wkt`` is the distributed path (ray.data.read_text -> vectorized
+parse).  NOTE distributed reads cannot reproduce global line numbers; pass
+``ids="line"`` only for single-file driver-side loads — at scale use the
+default content-independent ids or supply an id column.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..geometry.core import GTYPE_NAMES, mbr_of, parse_wkt, pts_to_coords
+
+_NAME_TO_GTYPE = {v: k for k, v in GTYPE_NAMES.items()}
+
+
+def _geom_table(ids, gtypes, coords_list) -> pa.Table:
+    mbrs = np.array([mbr_of(g, c) for g, c in zip(gtypes, coords_list)]) \
+        if len(ids) else np.zeros((0, 4))
+    offs = np.zeros(len(ids) + 1, dtype=np.int32)
+    if len(ids):
+        np.cumsum([len(c) for c in coords_list], out=offs[1:])
+    flat = np.concatenate(coords_list) if len(ids) else np.zeros(0)
+    return pa.table({
+        "id": pa.array(np.asarray(ids, dtype=np.int64)),
+        "gtype": pa.array(np.asarray(gtypes, dtype=np.int8)),
+        "coords": pa.ListArray.from_arrays(pa.array(offs),
+                                           pa.array(flat,
+                                                    type=pa.float64())),
+        "minx": pa.array(mbrs[:, 0]), "miny": pa.array(mbrs[:, 1]),
+        "maxx": pa.array(mbrs[:, 2]), "maxy": pa.array(mbrs[:, 3]),
+    })
+
+
+def load_wkt_table(path: str, data_type: str | None = None) -> pa.Table:
+    """Driver-side WKT file -> geometry table; id = 0-based line number.
+
+    ``data_type`` (e.g. "POLYGON") mirrors prepareDataset's declared type:
+    rows of a different type are skipped (partitioning.cpp:528-531)."""
+    want = _NAME_TO_GTYPE.get(data_type) if data_type else None
+    ids, gts, coords = [], [], []
+    with open(path) as f:
+        for lineno, line in enumerate(f):
+            line = line.split("\t")[0].strip()
+            if not line:
+                continue
+            g = parse_wkt(line)
+            if g is None:
+                continue
+            if want is not None and g[0] != want:
+                continue
+            ids.append(lineno)
+            gts.append(g[0])
+            coords.append(np.asarray(g[1]))
+    return _geom_table(ids, gts, coords)
+
+
+def load_csv_table(path: str, data_type: str) -> pa.Table:
+    """Driver-side CSV ``id,x y,x y,...`` -> geometry table
+    (reference partitioning.cpp:201-354 format)."""
+    want = _NAME_TO_GTYPE[data_type]
+    ids, gts, coords = [], [], []
+    with open(path) as f:
+        for line in f:
+            parts = line.strip().split(",")
+            if len(parts) < 2:
+                continue
+            try:
+                rid = int(parts[0])
+                pts = np.array([[float(v) for v in p.split()]
+                                for p in parts[1:] if p.strip()])
+            except ValueError:
+                continue
+            if pts.ndim != 2 or pts.shape[1] != 2:
+                continue
+            ids.append(rid)
+            gts.append(want)
+            coords.append(pts_to_coords(pts))
+    return _geom_table(ids, gts, coords)
+
+
+def read_wkt(paths, data_type: str | None = None):
+    """Distributed WKT reader: ray.data.read_text -> parse map_batches.
+
+    ids are assigned per (block, offset) — deterministic for a fixed file
+    layout but NOT global line numbers (see module doc)."""
+    import ray.data as rd
+    want = _NAME_TO_GTYPE.get(data_type) if data_type else None
+
+    def parse(t: pa.Table) -> pa.Table:
+        ids, gts, coords = [], [], []
+        for i, line in enumerate(t["text"].to_pylist()):
+            line = line.split("\t")[0].strip()
+            if not line:
+                continue
+            g = parse_wkt(line)
+            if g is None or (want is not None and g[0] != want):
+                continue
+            ids.append(i)
+            gts.append(g[0])
+            coords.append(np.asarray(g[1]))
+        return _geom_table(ids, gts, coords)
+
+    return rd.read_text(paths).map_batches(parse, batch_format="pyarrow")
+
+
+def write_partitioned(ds, out_dir: str, grid=None):
+    """Resumable sink (reference S6 partition-file writer analog): one
+    parquet directory; pair with state.checkpoint for skip-if-done."""
+    ds.write_parquet(out_dir)
+
+
+def read_lance_or_parquet(path: str, columns=None):
+    """Prefer Lance when the library exists (the north-star input format),
+    fall back to parquet (this container has no lance)."""
+    import ray.data as rd
+    try:
+        import lance  # noqa: F401
+        return rd.read_lance(path, columns=columns)
+    except ImportError:
+        return rd.read_parquet(path, columns=columns)
