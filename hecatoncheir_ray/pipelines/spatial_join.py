@@ -88,11 +88,16 @@ def detect_hot_cells(r: Dataset, s: Dataset, cfg: EngineConfig,
 
 def spatial_join(r: Dataset, s: Dataset, predicate: str = "intersects",
                  cfg: EngineConfig | None = None,
-                 hot_cells: np.ndarray | None = None) -> Dataset:
+                 hot_cells: np.ndarray | None = None,
+                 slice_id: tuple[int, int] | None = None,
+                 metrics_scope: str | None = None) -> Dataset:
     """Predicate join R x S -> Dataset(r_id, s_id[, relation]).
 
     ``predicate`` one of PREDICATES; 'find_relation' adds a ``relation:int8``
     column (TR_* codes, geometry.predicates.TR_NAMES).
+    ``slice_id=(k, n)`` restricts to shuffle partitions with part%n==k (the
+    resumable-execution unit, state.checkpoint); ``metrics_scope`` routes
+    kernel counters to the named metrics actor.
     """
     if predicate not in PREDICATES:
         raise ValueError(f"unknown predicate {predicate!r}")
@@ -124,7 +129,17 @@ def spatial_join(r: Dataset, s: Dataset, predicate: str = "intersects",
                        shuffle_parts=cfg.shuffle_parts),
         batch_format="pyarrow", batch_size=cfg.assign_batch_size)
     both = r2.union(s2)
-    kernel = make_join_kernel(cfg, grid, predicate, hot_cells)
+    if slice_id is not None:
+        k, n = slice_id
+        import pyarrow as _pa
+
+        def keep_slice(t):
+            part = t["part"].to_numpy(zero_copy_only=False)
+            return t.filter(_pa.array((part % n) == k))
+
+        both = both.map_batches(keep_slice, batch_format="pyarrow")
+    kernel = make_join_kernel(cfg, grid, predicate, hot_cells,
+                              metrics_scope=metrics_scope)
     # shuffle on the coarse hashed partition; the kernel fans back out to
     # fine cells internally (numpy sort, no per-cell task overhead)
     return both.groupby("part").map_groups(kernel, batch_format="pyarrow")

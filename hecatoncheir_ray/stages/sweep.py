@@ -450,16 +450,28 @@ def classify_relations(cfg: EngineConfig, geo, gri, gsi,
 
 
 def make_join_kernel(cfg: EngineConfig, grid: GridSpec, predicate: str,
-                     hot_cells=None):
+                     hot_cells=None, metrics_scope: str | None = None):
     """Build the per-partition map_groups kernel."""
     hot = (np.asarray(hot_cells, dtype=np.int64)
            if hot_cells is not None and len(hot_cells) else None)
     find_rel = predicate == "find_relation"
     schema = REL_SCHEMA if find_rel else PAIR_SCHEMA
 
+    def report(rows_in: int, candidates: int):
+        if metrics_scope is None:
+            return
+        try:
+            import ray
+            actor = ray.get_actor("hec_metrics")
+            actor.add.remote(metrics_scope, rows_in=rows_in,
+                             candidates=candidates, partitions=1)
+        except Exception:
+            pass    # metrics are best-effort; never fail the kernel
+
     def kernel(t: pa.Table) -> pa.Table:
         geo = geoms_from_table(t)
         gri, gsi = generate_candidates(t, geo, grid, hot, cfg)
+        report(len(t), len(gri))
         if len(gri) == 0:
             return schema.empty_table()
         april = None

@@ -1,0 +1,166 @@
+"""Per-partition lineage + counters + resumable execution (north rule).
+
+The reference has no fault tolerance (any error NACKs up and the job aborts,
+DB_STATUS propagation, include/def.h:69-143).  Here every job runs as
+``num_slices`` key-range slices of the shuffle partition space; each slice:
+
+* writes its output under ``out_dir/slice=<k>/`` (its own parquet files),
+* then atomically records a manifest (lineage: inputs + config fingerprint;
+  counters: rows in/out, candidate pairs, wall seconds) in the checkpoint
+  store (``_ckpt/slice_<k>.json`` via write-temp-then-rename).
+
+A killed job resumes by re-invoking the same call: finished slices are
+skipped (manifest present + config fingerprint matches), unfinished slice
+directories are overwritten.  Kernel-side counters flow through a named
+detached Ray actor (the "checkpoint store" metrics channel).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+import numpy as np
+
+import ray
+
+
+@ray.remote
+class MetricsActor:
+    """Tiny named metrics sink: kernels report per-partition counters."""
+
+    def __init__(self):
+        self._counters: dict[str, dict[str, int]] = {}
+
+    def add(self, scope: str, **counts):
+        c = self._counters.setdefault(scope, {})
+        for k, v in counts.items():
+            c[k] = c.get(k, 0) + int(v)
+
+    def snapshot(self) -> dict:
+        return {k: dict(v) for k, v in self._counters.items()}
+
+    def reset(self, scope: str):
+        self._counters.pop(scope, None)
+
+
+def get_metrics_actor(name: str = "hec_metrics"):
+    try:
+        return ray.get_actor(name)
+    except ValueError:
+        return MetricsActor.options(name=name, lifetime="detached").remote()
+
+
+class CheckpointStore:
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+        self.ckpt_dir = os.path.join(out_dir, "_ckpt")
+        os.makedirs(self.ckpt_dir, exist_ok=True)
+
+    def _path(self, k: int) -> str:
+        return os.path.join(self.ckpt_dir, f"slice_{k:05d}.json")
+
+    def manifest(self, k: int) -> dict | None:
+        try:
+            with open(self._path(k)) as f:
+                return json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
+
+    def is_done(self, k: int, fingerprint: str) -> bool:
+        m = self.manifest(k)
+        return bool(m and m.get("status") == "done"
+                    and m.get("fingerprint") == fingerprint)
+
+    def mark_done(self, k: int, fingerprint: str, lineage: dict,
+                  counters: dict):
+        tmp = self._path(k) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"status": "done", "slice": k,
+                       "fingerprint": fingerprint,
+                       "finished_at": time.time(),
+                       "lineage": lineage, "counters": counters}, f,
+                      indent=1)
+        os.replace(tmp, self._path(k))   # atomic
+
+    def manifests(self) -> list[dict]:
+        out = []
+        for name in sorted(os.listdir(self.ckpt_dir)):
+            if name.endswith(".json"):
+                with open(os.path.join(self.ckpt_dir, name)) as f:
+                    out.append(json.load(f))
+        return out
+
+
+def _fingerprint(predicate: str, cfg, num_slices: int, lineage: dict) -> str:
+    import hashlib
+    blob = json.dumps({"predicate": predicate, "ppd": cfg.ppd,
+                       "dataspace": cfg.dataspace,
+                       "parts": cfg.shuffle_parts,
+                       "filter": cfg.intermediate_filter,
+                       "num_slices": num_slices,
+                       "lineage": lineage}, sort_keys=True)
+    return hashlib.md5(blob.encode()).hexdigest()
+
+
+def resumable_spatial_join(r_factory, s_factory, predicate: str, cfg,
+                           out_dir: str, num_slices: int = 8,
+                           lineage: dict | None = None) -> dict:
+    """Run (or resume) a spatial join as num_slices partition-range slices.
+
+    ``r_factory``/``s_factory``: zero-arg callables returning fresh input
+    Datasets (a Dataset cannot be consumed twice).  Returns a summary dict
+    {slices_run, slices_skipped, rows, counters}.
+    """
+    from ..pipelines.spatial_join import spatial_join
+    import pyarrow as pa
+
+    lineage = lineage or {}
+    store = CheckpointStore(out_dir)
+    fp = _fingerprint(predicate, cfg, num_slices, lineage)
+    metrics = get_metrics_actor()
+    run, skipped, total_rows = 0, 0, 0
+    all_counters = {}
+    for k in range(num_slices):
+        if store.is_done(k, fp):
+            skipped += 1
+            m = store.manifest(k)
+            total_rows += m["counters"].get("rows_out", 0)
+            continue
+        t0 = time.time()
+        scope = f"{out_dir}:slice{k}"
+        metrics.reset.remote(scope)
+        pairs = spatial_join(r_factory(), s_factory(), predicate, cfg,
+                             slice_id=(k, num_slices),
+                             metrics_scope=scope)
+        slice_dir = os.path.join(out_dir, f"slice={k}")
+        pairs.write_parquet(slice_dir)
+        # rows written, from the parquet footers (ground truth)
+        import pyarrow.parquet as pq
+        rows = sum(pq.read_metadata(os.path.join(slice_dir, f)).num_rows
+                   for f in os.listdir(slice_dir)
+                   if f.endswith(".parquet"))
+        counters = ray.get(metrics.snapshot.remote()).get(scope, {})
+        counters["rows_out"] = rows
+        counters["wall_s"] = round(time.time() - t0, 3)
+        store.mark_done(k, fp, lineage, counters)
+        total_rows += rows
+        all_counters[k] = counters
+        run += 1
+    return {"slices_run": run, "slices_skipped": skipped,
+            "rows": total_rows, "counters": all_counters,
+            "out_dir": out_dir}
+
+
+def read_join_output(out_dir: str):
+    """Read all finished slices back as one Dataset."""
+    import ray.data as rd
+    files = []
+    for d in sorted(os.listdir(out_dir)):
+        if d.startswith("slice="):
+            sd = os.path.join(out_dir, d)
+            files += [os.path.join(sd, f) for f in sorted(os.listdir(sd))
+                      if f.endswith(".parquet")]
+    return rd.read_parquet(files)
