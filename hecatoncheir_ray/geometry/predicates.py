@@ -638,6 +638,22 @@ def find_relation(gtype_r, coords_r, gtype_s, coords_s,
     return TR_INTERSECT
 
 
+def de9im_mask(m: np.ndarray) -> str:
+    """Boolean DE-9IM matrix -> 9-char T/F mask string (row-major).
+
+    Reference: Shape::createMaskCode (containers.h:1076-1087) returns the
+    boost relate matrix string; dimensions are collapsed to T here (the
+    reference's own mask comparisons only test T vs F,
+    topology.cpp:73-95)."""
+    return "".join("T" if m[i, j] else "F"
+                   for i in range(3) for j in range(3))
+
+
+def create_mask_code(gtype_r, coords_r, gtype_s, coords_s) -> str:
+    """createMaskCode equivalent: the DE-9IM mask string for a pair."""
+    return de9im_mask(relate(gtype_r, coords_r, gtype_s, coords_s))
+
+
 # ---------------------------------------------------------------------------
 # distance (reference containers.h:1419-1426 — point distance)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,58 @@
+"""Compatibility facade: the reference's QueryTest driver flow, ported
+nearly line-for-line through hecatoncheir_ray.api."""
+
+import os
+
+import pytest
+
+from hecatoncheir_ray.api import (DistanceJoinQuery, Hecatoncheir, KNNQuery,
+                                  PredicateJoinQuery, QR_COLLECT, QR_COUNT)
+
+SAMPLES = "/root/reference/Hecatoncheir/test/samples"
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(SAMPLES),
+                                reason="reference samples not available")
+
+
+def test_reference_driver_flow(ray_session):
+    eng = Hecatoncheir()
+    # prepareDataset / partition / buildIndex
+    r = eng.prepare_dataset(f"{SAMPLES}/data_sample_polygons_1.wkt",
+                            "WKT", "POLYGON")
+    s = eng.prepare_dataset(f"{SAMPLES}/data_sample_polygons_2.wkt",
+                            "WKT", "POLYGON")
+    assert (r, s) == (0, 1)
+    assert eng.partition([r, s]) == 0
+    assert eng.build_index([r, s], "two_layer") == 0
+    # find_relation COUNT (QueryTest::test1)
+    hist = eng.query(PredicateJoinQuery(r, s, 0, "find_relation", QR_COUNT))
+    d = dict(zip(hist["relation_name"], hist["pair_count"]))
+    assert d == {"intersect": 4, "inside": 1}
+    # intersection COLLECT (test2)
+    pairs = eng.query(PredicateJoinQuery(r, s, 0, "intersects", QR_COLLECT))
+    assert len(pairs) == 5
+    eng.unload_dataset(r)
+    eng.unload_dataset(s)
+
+    # batch kNN (test4)
+    p = eng.prepare_dataset(f"{SAMPLES}/data_sample_points.wkt",
+                            "WKT", "POINT")
+    eng.partition([p])
+    batch = eng.load_knn_queries_from_file(
+        f"{SAMPLES}/query_sample_points.wkt", "WKT", p, k=2)
+    assert len(batch) == 2
+    res = eng.query_batch(batch)
+    assert res[0] == [33, 31] and res[1] == [53, 58]
+
+    # batch range COUNT (test5)
+    rbatch = eng.load_range_queries_from_file(
+        f"{SAMPLES}/query_sample_polygons.wkt", "WKT", p, QR_COUNT)
+    res = eng.query_batch(rbatch)
+    assert res[0] == 0 and res[1] == 1
+
+    # distance join (test7)
+    q = eng.prepare_dataset(f"{SAMPLES}/query_sample_points.wkt",
+                            "WKT", "POINT")
+    eng.partition([p, q])
+    n = eng.query(DistanceJoinQuery(p, q, 0, QR_COUNT, 7.65))
+    assert n == 5
