@@ -150,41 +150,69 @@ def _verts_vs_polys(geo, src, poly):
     Returns (any_in, any_on) boolean arrays aligned with the pairs.
     src/poly must reference GT_POLYGON rows (single rings).
     """
-    from ..geometry.predicates import (build_padded_rings,
+    from ..geometry.predicates import (_ON_EPS as _eps, build_padded_rings,
                                        points_in_rings_batch)
-    ids, gtypes, offs, vals, *_ = geo
+    ids, gtypes, offs, vals, minx, miny, maxx, maxy = geo
     any_in = np.zeros(len(src), dtype=bool)
     any_on = np.zeros(len(src), dtype=bool)
     if len(src) == 0:
         return any_in, any_on
     uniq, inv = np.unique(poly, return_inverse=True)
     padded = build_padded_rings(offs, vals, uniq)
-    # ragged gather of all src vertices, tagged with their pair index
     nv = ((offs[src + 1] - offs[src]) // 2).astype(np.int64)
     E = padded[0].shape[1]
-    # cap the (points x E) intermediate: chunk by pairs
-    budget = max(1, (1 << 24) // max(E, 1))
-    if int(nv.sum()) > budget:
-        cum = np.cumsum(nv)
-        cut = int(np.searchsorted(cum, budget) + 1)
-        a_in, a_on = _verts_vs_polys(geo, src[:cut], poly[:cut])
-        b_in, b_on = _verts_vs_polys(geo, src[cut:], poly[cut:])
-        return (np.concatenate([a_in, b_in]), np.concatenate([a_on, b_on]))
-    total = int(nv.sum())
-    rep_starts = np.zeros(len(src), dtype=np.int64)
-    np.cumsum(nv[:-1], out=rep_starts[1:])
-    pair_of_pt = np.repeat(np.arange(len(src), dtype=np.int64), nv)
-    local = np.arange(total, dtype=np.int64) - np.repeat(rep_starts, nv)
-    ptpos = offs[src].astype(np.int64)[pair_of_pt] + 2 * local
-    cls = points_in_rings_batch(vals[ptpos], vals[ptpos + 1],
-                                inv[pair_of_pt], padded)
-    red = rep_starts
-    any_in[:] = np.add.reduceat(cls == 1, red) > 0
-    any_on[:] = np.add.reduceat(cls == 0, red) > 0
+    # iterate pair-chunks (bounded (points x E) intermediates; NOT recursive
+    # — skewed partitions can hold millions of pairs)
+    budget = max(48, (1 << 24) // max(E, 1))
+    cum = np.concatenate([[0], np.cumsum(nv)])
+    lo = 0
+    while lo < len(src):
+        hi = int(np.searchsorted(cum, cum[lo] + budget))
+        hi = max(hi, lo + 1)
+        csrc = src[lo:hi]
+        cnv = nv[lo:hi]
+        total = int(cnv.sum())
+        rep_starts = np.zeros(len(csrc), dtype=np.int64)
+        np.cumsum(cnv[:-1], out=rep_starts[1:])
+        pair_of_pt = np.repeat(np.arange(len(csrc), dtype=np.int64), cnv)
+        local = np.arange(total, dtype=np.int64) \
+            - np.repeat(rep_starts, cnv)
+        ptpos = offs[csrc].astype(np.int64)[pair_of_pt] + 2 * local
+        px = vals[ptpos]
+        py = vals[ptpos + 1]
+        # MBR prefilter: a vertex outside the polygon's MBR is neither
+        # inside nor on it — typically drops 70%+ of the (points x E) work
+        pm = poly[lo:hi][pair_of_pt]
+        live = ((px >= minx[pm] - _eps) & (px <= maxx[pm] + _eps)
+                & (py >= miny[pm] - _eps) & (py <= maxy[pm] + _eps))
+        cls = np.full(total, -1, dtype=np.int8)
+        if live.any():
+            sel = np.nonzero(live)[0]
+            cls[sel] = points_in_rings_batch(
+                px[sel], py[sel], inv[lo:hi][pair_of_pt[sel]], padded)
+        any_in[lo:hi] = np.add.reduceat(cls == 1, rep_starts) > 0
+        any_on[lo:hi] = np.add.reduceat(cls == 0, rep_starts) > 0
+        lo = hi
     return any_in, any_on
 
 
-def _edge_cross_kind(geo, i, j, eps=_ON_EPS):
+def _edges_of(geo, row, cache):
+    """(e,2,2) edge array + per-edge bbox for one ring, memoized per kernel
+    call (rows recur across many candidate pairs)."""
+    hit = cache.get(row)
+    if hit is not None:
+        return hit
+    ids, gtypes, offs, vals, *_ = geo
+    p = _geom(offs, vals, row).reshape(-1, 2)
+    e = np.stack([p, np.roll(p, -1, axis=0)], axis=1)
+    lo = e.min(axis=1)
+    hi = e.max(axis=1)
+    out = (e, lo, hi)
+    cache[row] = out
+    return out
+
+
+def _edge_cross_kind(geo, i, j, eps=_ON_EPS, cache=None):
     """Boundary-cross test for one polygon pair, pruned to the MBR-overlap
     box: 0 = no boundary contact, 1 = touch-only, 2 = proper crossing."""
     ids, gtypes, offs, vals, minx, miny, maxx, maxy = geo
@@ -192,12 +220,11 @@ def _edge_cross_kind(geo, i, j, eps=_ON_EPS):
     oy0 = max(miny[i], miny[j]) - eps
     ox1 = min(maxx[i], maxx[j]) + eps
     oy1 = min(maxy[i], maxy[j]) + eps
+    if cache is None:
+        cache = {}
 
     def clipped_edges(row):
-        p = _geom(offs, vals, row).reshape(-1, 2)
-        e = np.stack([p, np.roll(p, -1, axis=0)], axis=1)
-        lo = e.min(axis=1)
-        hi = e.max(axis=1)
+        e, lo, hi = _edges_of(geo, row, cache)
         m = ((lo[:, 0] <= ox1) & (hi[:, 0] >= ox0)
              & (lo[:, 1] <= oy1) & (hi[:, 1] >= oy0))
         return e[m]
@@ -311,9 +338,11 @@ def refine_mask(cfg: EngineConfig, geo, gri, gsi, predicate: str,
         s_in, s_on = _verts_vs_polys(geo, gsi[sel], gri[sel])
         hit = r_in | r_on | s_in | s_on
         und = np.nonzero(~hit)[0]
+        ecache: dict = {}
         for u in und.tolist():
             hit[u] = _edge_cross_kind(geo, int(gri[sel[u]]),
-                                      int(gsi[sel[u]])) > 0
+                                      int(gsi[sel[u]]),
+                                      cache=ecache) > 0
         keep[sel] = hit if predicate == "intersects" else ~hit
         done |= poly2
 
@@ -424,9 +453,10 @@ def classify_relations(cfg: EngineConfig, geo, gri, gsi,
         s_in, s_on = _verts_vs_polys(geo, gsi[sel], gri[sel])
         strict = r_in | s_in
         rel[sel[strict]] = TR_INTERSECT      # interiors provably overlap
+        ecache: dict = {}
         for u in np.nonzero(~strict)[0].tolist():
             i, j = int(gri[sel[u]]), int(gsi[sel[u]])
-            kind = _edge_cross_kind(geo, i, j)
+            kind = _edge_cross_kind(geo, i, j, cache=ecache)
             if kind == 2:
                 rel[sel[u]] = TR_INTERSECT   # proper crossing
             elif kind == 0 and not (r_on[u] or s_on[u]):
@@ -457,22 +487,25 @@ def make_join_kernel(cfg: EngineConfig, grid: GridSpec, predicate: str,
     find_rel = predicate == "find_relation"
     schema = REL_SCHEMA if find_rel else PAIR_SCHEMA
 
-    def report(rows_in: int, candidates: int):
+    def report(rows_in: int, candidates: int, kernel_ms: int):
         if metrics_scope is None:
             return
         try:
             import ray
             actor = ray.get_actor("hec_metrics")
             actor.add.remote(metrics_scope, rows_in=rows_in,
-                             candidates=candidates, partitions=1)
+                             candidates=candidates, partitions=1,
+                             kernel_ms=kernel_ms)
         except Exception:
             pass    # metrics are best-effort; never fail the kernel
 
     def kernel(t: pa.Table) -> pa.Table:
+        import time as _time
+        _t0 = _time.perf_counter()
         geo = geoms_from_table(t)
         gri, gsi = generate_candidates(t, geo, grid, hot, cfg)
-        report(len(t), len(gri))
         if len(gri) == 0:
+            report(len(t), 0, int(1000 * (_time.perf_counter() - _t0)))
             return schema.empty_table()
         april = None
         if "april_all" in t.column_names:
@@ -481,12 +514,15 @@ def make_join_kernel(cfg: EngineConfig, grid: GridSpec, predicate: str,
         ids = geo[0]
         if find_rel:
             rel = classify_relations(cfg, geo, gri, gsi, april)
+            report(len(t), len(gri),
+                   int(1000 * (_time.perf_counter() - _t0)))
             return pa.table({"r_id": ids[gri], "s_id": ids[gsi],
                              "relation": rel}, schema=REL_SCHEMA)
         if not cfg.refinement:
             keep = np.ones(len(gri), dtype=bool)
         else:
             keep = refine_mask(cfg, geo, gri, gsi, predicate, april)
+        report(len(t), len(gri), int(1000 * (_time.perf_counter() - _t0)))
         return pa.table({"r_id": ids[gri[keep]], "s_id": ids[gsi[keep]]},
                         schema=PAIR_SCHEMA)
 
