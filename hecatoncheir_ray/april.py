@@ -262,6 +262,22 @@ def april_topology(a_r, f_r, a_s, f_s, mbr_case: int) -> int | None:
     return None
 
 
+def persist_april(geom_ds, out_dir: str, bounds, order: int):
+    """S8 analog (src/APRIL/storage.cpp:7-53): compute and persist the
+    geometry table WITH its april_all/april_full columns as parquet, so
+    repeated joins skip rasterization."""
+    gen = make_april_fn(bounds, order)
+    geom_ds.map_batches(gen, batch_format="pyarrow").write_parquet(out_dir)
+
+
+def load_april(path: str):
+    """S9 analog (storage.cpp:122-192): read a persisted geometry+APRIL
+    table; feeds spatial_join via cfg.intermediate_filter (the kernel uses
+    the columns whenever present)."""
+    import ray.data as rd
+    return rd.read_parquet(path)
+
+
 # ---------------------------------------------------------------------------
 # map_batches stage
 # ---------------------------------------------------------------------------

@@ -44,6 +44,46 @@ class JpegNotSupported(NotImplementedError):
     payload + typed metadata); only the pixel codec is stubbed."""
 
 
+class AudioNotSupported(NotImplementedError):
+    """Audio decode stub (no codec libraries in this container)."""
+
+
+class VideoNotSupported(NotImplementedError):
+    """Video decode stub (no codec libraries in this container)."""
+
+
+class DecodeAudio:
+    """Actor-pool stage stub for opaque audio binary columns: the schema
+    contract is (media_id:string, bytes:binary, sample_rate:int32,
+    fmt:string); decode raises until a codec library is available —
+    the Ray-side plumbing (batching, actor signature) is real."""
+
+    def __init__(self, skip_undecodable: bool = False):
+        self.skip = skip_undecodable
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if self.skip or len(t) == 0:
+            return pa.table({"media_id": pa.array([], pa.string()),
+                             "samples": pa.array([], pa.list_(pa.float32()))})
+        raise AudioNotSupported("audio decode unavailable here")
+
+
+class SampleVideoFrames:
+    """Actor-pool stage stub: frame-sampling over opaque video bytes
+    (media_id, bytes, fps:int32, fmt) -> one row per sampled frame."""
+
+    def __init__(self, every_n: int = 30, skip_undecodable: bool = False):
+        self.every_n = every_n
+        self.skip = skip_undecodable
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if self.skip or len(t) == 0:
+            return pa.table({"media_id": pa.array([], pa.string()),
+                             "frame_idx": pa.array([], pa.int32()),
+                             "bytes": pa.array([], pa.binary())})
+        raise VideoNotSupported("video decode unavailable here")
+
+
 # ---------------------------------------------------------------------------
 # PNG codec (RGB8, pure python)
 # ---------------------------------------------------------------------------

@@ -152,3 +152,27 @@ def test_join_stage_equivalence(ray_session):
             else:
                 outs.append(sorted((r["r_id"], r["s_id"]) for r in rows))
         assert outs[0] == outs[1], pred
+
+
+def test_april_persist_roundtrip(ray_session, tmp_path):
+    """S8/S9 parity: persist geometry+APRIL, reload, join with filter on."""
+    import ray.data as rd
+    from hecatoncheir_ray import EngineConfig, spatial_join
+    from hecatoncheir_ray.april import load_april, persist_april
+    KW = dict(bounds=(0.0, 0.0, 100.0, 50.0), min_edge=2.0, max_edge=10.0,
+              min_v=4, max_v=10)
+    tr = table_layer("polygons", 80, seed=17, **KW)
+    ts = table_layer("polygons", 80, seed=18, **KW)
+    d1, d2 = str(tmp_path / "r"), str(tmp_path / "s")
+    persist_april(rd.from_arrow(tr), d1, (0, 0, 100, 50), 8)
+    persist_april(rd.from_arrow(ts), d2, (0, 0, 100, 50), 8)
+    r = load_april(d1)
+    assert "april_all" in r.schema().names
+    cfg = EngineConfig(dataspace=(0, 0, 100, 50), ppd=8)
+    got = sorted((x["r_id"], x["s_id"]) for x in
+                 spatial_join(load_april(d1), load_april(d2),
+                              "covered_by", cfg).take_all())
+    exp = sorted((x["r_id"], x["s_id"]) for x in
+                 spatial_join(rd.from_arrow(tr), rd.from_arrow(ts),
+                              "covered_by", cfg).take_all())
+    assert got == exp

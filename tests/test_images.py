@@ -146,3 +146,20 @@ def test_geotag_and_tiling(ray_session):
                         min_edge=1.0, max_edge=5.0, min_v=4, max_v=8)
     cov = tile_cover(rd.from_arrow(polys), grid).take_all()
     assert len(cov) >= 20
+
+
+def test_audio_video_stubs():
+    from hecatoncheir_ray.sources.images import (AudioNotSupported,
+                                                 DecodeAudio,
+                                                 SampleVideoFrames,
+                                                 VideoNotSupported)
+    t = pa.table({"media_id": pa.array(["m1"]),
+                  "bytes": pa.array([b"\x00\x01"], pa.binary()),
+                  "sample_rate": pa.array([16000], pa.int32()),
+                  "fmt": pa.array(["wav"])})
+    with pytest.raises(AudioNotSupported):
+        DecodeAudio()(t)
+    assert len(DecodeAudio(skip_undecodable=True)(t)) == 0
+    with pytest.raises(VideoNotSupported):
+        SampleVideoFrames()(t)
+    assert len(SampleVideoFrames(skip_undecodable=True)(t)) == 0
