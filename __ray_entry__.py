@@ -32,6 +32,7 @@ from hecatoncheir_ray.config import EngineConfig, TIGER_US_BOUNDS  # noqa: E402
 from hecatoncheir_ray.functions import dedup as _dedup  # noqa: E402
 from hecatoncheir_ray.functions import simsearch as _simsearch  # noqa: E402
 from hecatoncheir_ray.functions import text as _text  # noqa: E402
+from hecatoncheir_ray.functions import windows as _windows  # noqa: E402
 from hecatoncheir_ray.geometry import GT_BOX  # noqa: E402
 from hecatoncheir_ray.sources import derive  # noqa: E402
 from hecatoncheir_ray.sources.synth import ray_layer  # noqa: E402
@@ -266,6 +267,18 @@ def _q_embedding_near_dups(sf_dir: str):
     return embedding_near_dups(_vecs(sf_dir), threshold=0.95)
 
 
+def _q_doc_bpe_tokens(sf_dir: str):
+    from hecatoncheir_ray.functions.text import ray_bpe_token_counts
+    return ray_bpe_token_counts(_docs(sf_dir))
+
+
+def _q_event_window_agg(sf_dir: str):
+    import ray.data as rd
+    from hecatoncheir_ray.functions.windows import tumbling_window_agg
+    return tumbling_window_agg(
+        rd.read_parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_ann_topk_cosine(sf_dir: str):
     from hecatoncheir_ray.functions.simsearch import topk_cosine_brute
     rows = _vecs(sf_dir).take(3)
@@ -301,6 +314,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_dups": _q_simhash_near_dups,
         "embedding_near_dups": _q_embedding_near_dups,
         "ann_topk_cosine": _q_ann_topk_cosine,
+        "doc_bpe_tokens": _q_doc_bpe_tokens,
+        "event_window_agg": _q_event_window_agg,
     }
 
 
@@ -388,6 +403,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": _text.FINGERPRINTS_SQL,
         "exact_dedup": _dedup.EXACT_DEDUP_SQL,
         "ann_topk_ip": _simsearch.topk_ip_quantized_sql([0, 1, 2], k=10),
+        "doc_bpe_tokens": _text.BPE_TOKENS_SQL,
+        "event_window_agg": _windows.tumbling_window_agg_sql(),
     }
 
 

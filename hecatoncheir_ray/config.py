@@ -71,6 +71,9 @@ class EngineConfig:
     # sub-cells partition the cell)
     hot_cell_rows: int = 4096
     salt_factor: int = 4                  # hot cells split salt_factor^2 ways
+    # detect hot cells automatically before the join (one extra streaming
+    # pass over the MBR columns) -- or pass hot_cells explicitly
+    auto_salt: bool = False
 
     grid: GridSpec | None = field(default=None)
 

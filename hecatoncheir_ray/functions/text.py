@@ -146,6 +146,28 @@ def fingerprints(df: pd.DataFrame) -> pd.DataFrame:
 FINGERPRINTS_SQL = "SELECT doc_id, md5(text) AS fp FROM documents"
 
 
+# BPE-ish subword pre-tokenization: letter runs, digit runs, single other
+# non-space chars (the GPT-2 pre-tokenizer shape, simplified to a class
+# pattern both Python re and DuckDB's RE2 interpret identically)
+_BPE_PAT = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def bpe_token_counts(df: pd.DataFrame) -> pd.DataFrame:
+    counts = df["text"].fillna("").str.count(_BPE_PAT).astype(np.int64)
+    return pd.DataFrame({"doc_id": df["doc_id"].astype(np.int64),
+                         "bpe_tokens": counts})
+
+
+BPE_TOKENS_SQL = f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_PAT}')) AS BIGINT)
+               AS bpe_tokens
+    FROM documents
+"""
+
+ray_bpe_token_counts = None  # set below after _pandas_stage is defined
+
+
 def rolling_fingerprint(text: str, window: int = 16,
                         base: int = 257, mod: int = (1 << 61) - 1
                         ) -> np.ndarray:
@@ -181,3 +203,4 @@ def _pandas_stage(fn):
 ray_text_stats = _pandas_stage(text_stats)
 ray_lang_id = _pandas_stage(lang_id)
 ray_fingerprints = _pandas_stage(fingerprints)
+ray_bpe_token_counts = _pandas_stage(bpe_token_counts)

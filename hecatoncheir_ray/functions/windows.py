@@ -1,0 +1,62 @@
+"""Windowed aggregation over the events stream table.
+
+The reference has no streaming features (SURVEY §2.9); this is the
+training-pipeline-shaped extension per the Ray guide's streaming-batch
+pattern: the events log is treated as an ordered, partitioned stream and
+tumbling windows become a per-batch partial aggregation + tiny final merge
+(no shuffle — the result is (windows x types) rows).
+
+Integer arithmetic throughout for bit-exact SQL parity:
+window_id = floor(epoch_us / window_us); values summed as
+floor(value*1000 + 0.5) millis.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+
+HOUR_US = 3_600_000_000
+
+
+def tumbling_window_agg(events: Dataset,
+                        window_us: int = HOUR_US) -> pd.DataFrame:
+    """-> DataFrame(window_id, event_type, n, value_milli), sorted."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").view("int64")
+        win = ts // window_us
+        typ = t["event_type"].to_pylist()
+        val = t["value"].to_numpy(zero_copy_only=False)
+        vm = np.floor(val * 1000 + 0.5).astype(np.int64)
+        df = pd.DataFrame({"window_id": win, "event_type": typ,
+                           "v": vm})
+        g = df.groupby(["window_id", "event_type"], as_index=False).agg(
+            n=("v", "size"), value_milli=("v", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = events.select_columns(["ts", "event_type", "value"]) \
+        .map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby(["window_id", "event_type"], as_index=False).agg(
+        n=("n", "sum"), value_milli=("value_milli", "sum"))
+    out["window_id"] = out["window_id"].astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    out["value_milli"] = out["value_milli"].astype(np.int64)
+    return out.sort_values(["window_id", "event_type"]) \
+        .reset_index(drop=True)
+
+
+def tumbling_window_agg_sql(window_us: int = HOUR_US) -> str:
+    return f"""
+        SELECT CAST(FLOOR(epoch_us(ts) / {window_us}) AS BIGINT)
+                   AS window_id,
+               event_type,
+               COUNT(*) AS n,
+               SUM(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT))
+                   AS value_milli
+        FROM events GROUP BY 1, 2
+    """

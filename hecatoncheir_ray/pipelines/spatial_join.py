@@ -104,6 +104,8 @@ def spatial_join(r: Dataset, s: Dataset, predicate: str = "intersects",
     cfg = cfg or EngineConfig()
     bounds = cfg.dataspace or compute_dataspace(r, s)
     grid = cfg.make_grid(bounds)
+    if hot_cells is None and cfg.auto_salt:
+        hot_cells = detect_hot_cells(r, s, cfg, grid)
     r2 = r.select_columns(GEOM_COLS)
     s2 = s.select_columns(GEOM_COLS)
     keep_cols = list(GEOM_COLS)
