@@ -140,6 +140,52 @@ def topk_cosine_brute(vecs: Dataset, queries: np.ndarray,
     return pd.DataFrame(rows, columns=["query_id", "vec_id", "score"])
 
 
+def topk_cosine_ivf(vecs: Dataset, queries: np.ndarray, k: int = 10,
+                    nlist: int = 16, nprobe: int = 4,
+                    train_sample: int = 512, seed: int = 13) -> pd.DataFrame:
+    """Approximate cosine top-k via an IVF index (the other scale path).
+
+    Train: k-means-lite centroids on a driver-side sample (few iterations,
+    spherical).  Assign: one map_batches pass tags each vector with its
+    nearest-centroid list.  Query: only vectors in each query's ``nprobe``
+    closest lists are exact-rescored.  Recall vs brute is measured in tests.
+    """
+    rng = np.random.default_rng(seed)
+    sample = vecs.limit(train_sample).take_all()
+    X = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                  for r in sample])
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+    nlist = min(nlist, len(X))
+    C = X[rng.choice(len(X), nlist, replace=False)]
+    for _ in range(8):                       # spherical k-means iterations
+        assign = (X @ C.T).argmax(axis=1)
+        for j in range(nlist):
+            m = assign == j
+            if m.any():
+                v = X[m].sum(axis=0)
+                C[j] = v / max(np.linalg.norm(v), 1e-300)
+    c_ref = ray.put(C)
+    Qn = queries / np.maximum(
+        np.linalg.norm(queries, axis=1, keepdims=True), 1e-300)
+    probe_lists = set()
+    qsims = Qn @ C.T
+    for qi in range(len(Qn)):
+        probe_lists.update(np.argsort(-qsims[qi])[:nprobe].tolist())
+    probes_ref = ray.put(np.array(sorted(probe_lists)))
+
+    def prefilter(df: pd.DataFrame) -> pd.DataFrame:
+        Cm = ray.get(c_ref)
+        probes = ray.get(probes_ref)
+        emb = _emb_matrix(df)
+        emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True),
+                               1e-300)
+        lists = (emb @ Cm.T).argmax(axis=1)
+        return df[np.isin(lists, probes)]
+
+    cands = vecs.map_batches(prefilter, batch_format="pandas")
+    return topk_cosine_brute(cands, queries, k)
+
+
 def topk_cosine_lsh(vecs: Dataset, queries: np.ndarray, k: int = 10,
                     planes: int = 16, seed: int = 11) -> pd.DataFrame:
     """Approximate cosine top-k: hyperplane LSH prefilter (candidates =

@@ -189,3 +189,18 @@ def test_topk_cosine_brute_and_lsh(ray_session):
     r = len(set(zip(lsh.query_id, lsh.vec_id))
             & set(zip(brute.query_id, brute.vec_id))) / len(brute)
     assert r >= 0.5
+
+
+def test_topk_cosine_ivf(ray_session):
+    from hecatoncheir_ray.functions.simsearch import (topk_cosine_brute,
+                                                      topk_cosine_ivf)
+    rows = _vecs_ds().take_all()
+    queries = np.stack([np.asarray(rows[i]["embedding"], dtype=np.float64)
+                        for i in (0, 7)])
+    brute = topk_cosine_brute(_vecs_ds(), queries, k=10)
+    ivf = topk_cosine_ivf(_vecs_ds(), queries, k=10, nlist=8, nprobe=4)
+    # the query's own vector must survive the IVF prefilter and rank first
+    assert ivf[ivf.query_id == 0].iloc[0]["vec_id"] == rows[0]["vec_id"]
+    r = len(set(zip(ivf.query_id, ivf.vec_id))
+            & set(zip(brute.query_id, brute.vec_id))) / len(brute)
+    assert r >= 0.5
