@@ -9,9 +9,16 @@ similarity search, text analysis, image tiling).
 """
 
 from .config import EngineConfig, GridSpec, TIGER_US_BOUNDS
+from .pipelines.distance_join import distance_join
+from .pipelines.knn import knn_query
+from .pipelines.range_query import range_query
 from .pipelines.spatial_join import (attach_payload, compute_dataspace,
-                                     detect_hot_cells, spatial_join)
+                                     detect_hot_cells, relation_histogram,
+                                     spatial_join)
+from .pipelines.tiling import tile_assignments, tile_counts, tile_cover
 
 __all__ = ["EngineConfig", "GridSpec", "TIGER_US_BOUNDS", "spatial_join",
-           "compute_dataspace", "detect_hot_cells", "attach_payload"]
+           "compute_dataspace", "detect_hot_cells", "attach_payload",
+           "relation_histogram", "distance_join", "knn_query",
+           "range_query", "tile_assignments", "tile_cover", "tile_counts"]
 __version__ = "0.1.0"

@@ -56,6 +56,12 @@ MBR_CROSS = 4
 
 _PAR_EPS = 1e-12     # parameter-space epsilon for segment intersection t/u
 _ON_EPS = 1e-09      # absolute distance-ish epsilon for on-boundary tests
+# NOTE on epsilon semantics: on-boundary/collinearity thresholds scale with
+# each edge's own length (perpendicular-distance tests), so for edges of
+# wildly different lengths with sub-epsilon gaps (~<1e-7) the touch
+# classification is direction-dependent.  Geographic data (degree
+# coordinates; gaps exactly 0 or far above 1e-7) cannot hit this band;
+# hypothesis-found knife-edge floats (1e-308-sized boxes) can.
 
 
 # ---------------------------------------------------------------------------
