@@ -168,7 +168,7 @@ def _verts_vs_polys(geo, src, poly):
     lo = 0
     while lo < len(src):
         hi = int(np.searchsorted(cum, cum[lo] + budget))
-        hi = max(hi, lo + 1)
+        hi = min(max(hi, lo + 1), len(src))
         csrc = src[lo:hi]
         cnv = nv[lo:hi]
         total = int(cnv.sum())
@@ -194,6 +194,108 @@ def _verts_vs_polys(geo, src, poly):
         any_on[lo:hi] = np.add.reduceat(cls == 0, rep_starts) > 0
         lo = hi
     return any_in, any_on
+
+
+def _ragged_starts(counts):
+    s = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=s[1:])
+    return s
+
+
+def _edge_cross_batch(geo, gri, gsi, eps=_ON_EPS):
+    """Mega-batched boundary-cross classification for polygon pairs.
+
+    Returns int8 per pair: 0 = no boundary contact, 1 = touch-only,
+    2 = proper crossing.  All edge pairs whose bboxes intersect the pair's
+    MBR-overlap box are tested in chunked vectorized passes — no per-pair
+    Python.  Semantics identical to :func:`_edge_cross_kind`.
+    """
+    ids, gtypes, offs, vals, minx, miny, maxx, maxy = geo
+    P = len(gri)
+    if P == 0:
+        return np.zeros(0, dtype=np.int8)
+    ox0 = np.maximum(minx[gri], minx[gsi]) - eps
+    oy0 = np.maximum(miny[gri], miny[gsi]) - eps
+    ox1 = np.minimum(maxx[gri], maxx[gsi]) + eps
+    oy1 = np.minimum(maxy[gri], maxy[gsi]) + eps
+
+    def side_edges(rows):
+        nv = ((offs[rows + 1] - offs[rows]) // 2).astype(np.int64)
+        total = int(nv.sum())
+        rep = np.repeat(np.arange(P, dtype=np.int64), nv)
+        local = np.arange(total, dtype=np.int64) \
+            - np.repeat(_ragged_starts(nv), nv)
+        base = offs[rows].astype(np.int64)[rep] + 2 * local
+        x1 = vals[base]
+        y1 = vals[base + 1]
+        nxt = (local + 1) % nv[rep]
+        base2 = offs[rows].astype(np.int64)[rep] + 2 * nxt
+        x2 = vals[base2]
+        y2 = vals[base2 + 1]
+        keep = ((np.minimum(x1, x2) <= ox1[rep])
+                & (np.maximum(x1, x2) >= ox0[rep])
+                & (np.minimum(y1, y2) <= oy1[rep])
+                & (np.maximum(y1, y2) >= oy0[rep]))
+        return rep[keep], x1[keep], y1[keep], x2[keep], y2[keep]
+
+    repR, p1x, p1y, p2x, p2y = side_edges(gri)
+    repS, q1x, q1y, q2x, q2y = side_edges(gsi)
+    cntR = np.bincount(repR, minlength=P)
+    cntS = np.bincount(repS, minlength=P)
+    startR = _ragged_starts(cntR)
+    startS = _ragged_starts(cntS)
+    combos = cntR * cntS
+    proper_pair = np.zeros(P, dtype=bool)
+    touch_pair = np.zeros(P, dtype=bool)
+    cumc = np.concatenate([[0], np.cumsum(combos)])
+    chunk = 1 << 22
+    lo = 0
+    while lo < P:
+        hi = int(np.searchsorted(cumc, cumc[lo] + chunk))
+        hi = min(max(hi, lo + 1), P)
+        cp = combos[lo:hi]
+        T = int(cp.sum())
+        if T == 0:
+            lo = hi
+            continue
+        pr = np.repeat(np.arange(lo, hi, dtype=np.int64), cp)
+        local = np.arange(T, dtype=np.int64) \
+            - np.repeat(_ragged_starts(cp), cp)
+        cs = cntS[pr]
+        iR = startR[pr] + local // cs
+        iS = startS[pr] + local % cs
+        a1x, a1y = p1x[iR], p1y[iR]
+        a2x, a2y = p2x[iR], p2y[iR]
+        b1x, b1y = q1x[iS], q1y[iS]
+        b2x, b2y = q2x[iS], q2y[iS]
+        la = np.hypot(a2x - a1x, a2y - a1y)
+        lb = np.hypot(b2x - b1x, b2y - b1y)
+        e = eps * np.maximum(np.maximum(la, lb), 1.0)
+        d1 = (b2x - b1x) * (a1y - b1y) - (b2y - b1y) * (a1x - b1x)
+        d2 = (b2x - b1x) * (a2y - b1y) - (b2y - b1y) * (a2x - b1x)
+        d3 = (a2x - a1x) * (b1y - a1y) - (a2y - a1y) * (b1x - a1x)
+        d4 = (a2x - a1x) * (b2y - a1y) - (a2y - a1y) * (b2x - a1x)
+        proper = ((((d1 > e) & (d2 < -e)) | ((d1 < -e) & (d2 > e)))
+                  & (((d3 > e) & (d4 < -e)) | ((d3 < -e) & (d4 > e))))
+
+        def on_seg(d, px, py, ax, ay, bx, by):
+            return ((np.abs(d) <= e)
+                    & (px >= np.minimum(ax, bx) - eps)
+                    & (px <= np.maximum(ax, bx) + eps)
+                    & (py >= np.minimum(ay, by) - eps)
+                    & (py <= np.maximum(ay, by) + eps))
+
+        touch = (on_seg(d1, a1x, a1y, b1x, b1y, b2x, b2y)
+                 | on_seg(d2, a2x, a2y, b1x, b1y, b2x, b2y)
+                 | on_seg(d3, b1x, b1y, a1x, a1y, a2x, a2y)
+                 | on_seg(d4, b2x, b2y, a1x, a1y, a2x, a2y))
+        if proper.any():
+            proper_pair[np.unique(pr[proper])] = True
+        if touch.any():
+            touch_pair[np.unique(pr[touch])] = True
+        lo = hi
+    return np.where(proper_pair, 2,
+                    np.where(touch_pair, 1, 0)).astype(np.int8)
 
 
 def _edges_of(geo, row, cache):
@@ -338,11 +440,9 @@ def refine_mask(cfg: EngineConfig, geo, gri, gsi, predicate: str,
         s_in, s_on = _verts_vs_polys(geo, gsi[sel], gri[sel])
         hit = r_in | r_on | s_in | s_on
         und = np.nonzero(~hit)[0]
-        ecache: dict = {}
-        for u in und.tolist():
-            hit[u] = _edge_cross_kind(geo, int(gri[sel[u]]),
-                                      int(gsi[sel[u]]),
-                                      cache=ecache) > 0
+        if len(und):
+            kinds = _edge_cross_batch(geo, gri[sel[und]], gsi[sel[und]])
+            hit[und] = kinds > 0
         keep[sel] = hit if predicate == "intersects" else ~hit
         done |= poly2
 
@@ -453,15 +553,15 @@ def classify_relations(cfg: EngineConfig, geo, gri, gsi,
         s_in, s_on = _verts_vs_polys(geo, gsi[sel], gri[sel])
         strict = r_in | s_in
         rel[sel[strict]] = TR_INTERSECT      # interiors provably overlap
-        ecache: dict = {}
-        for u in np.nonzero(~strict)[0].tolist():
-            i, j = int(gri[sel[u]]), int(gsi[sel[u]])
-            kind = _edge_cross_kind(geo, i, j, cache=ecache)
-            if kind == 2:
-                rel[sel[u]] = TR_INTERSECT   # proper crossing
-            elif kind == 0 and not (r_on[u] or s_on[u]):
-                rel[sel[u]] = TR_DISJOINT    # no contact at all
-            else:                            # touch-only: MEET vs INTERSECT
+        und = np.nonzero(~strict)[0]
+        if len(und):
+            kinds = _edge_cross_batch(geo, gri[sel[und]], gsi[sel[und]])
+            rel[sel[und[kinds == 2]]] = TR_INTERSECT   # proper crossing
+            no_contact = (kinds == 0) & ~(r_on[und] | s_on[und])
+            rel[sel[und[no_contact]]] = TR_DISJOINT
+            # touch-only remainder: MEET vs INTERSECT needs full relate
+            for u in und[(kinds != 2) & ~no_contact].tolist():
+                i, j = int(gri[sel[u]]), int(gsi[sel[u]])
                 rel[sel[u]] = find_relation(
                     int(gtypes[i]), _geom(offs, vals, i),
                     int(gtypes[j]), _geom(offs, vals, j), MBR_INTERSECT)
