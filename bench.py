@@ -129,8 +129,8 @@ def run_heavy() -> dict:
               TIGER_US_BOUNDS[2] + 0.5, TIGER_US_BOUNDS[3] + 0.5)
     cfg = EngineConfig(dataspace=bounds, ppd=192)
     KW = dict(min_edge=0.03, max_edge=0.3, min_v=8, max_v=48)
-    N_POLY = 500000
-    N_PTS = 6000000
+    N_POLY = 300000
+    N_PTS = 4000000
     # blocks sized to the session's parallelism: the streaming executor's
     # driver loop is single-threaded, so hundreds of excess tiny tasks put
     # a fixed serial floor under every run (dominant at low CPU counts)
