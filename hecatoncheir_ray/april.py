@@ -2,7 +2,9 @@
 
 Reference: /root/reference/Hecatoncheir/src/APRIL/generate.cpp (rasterizer),
 src/APRIL/join.cpp (interval joins), src/APRIL/filter.cpp (dispatch).
-AprilData = two sorted uint32 interval lists over a Hilbert-ordered 2^N x 2^N
+AprilData = two sorted uint64 interval lists over a Hilbert-ordered 2^N x 2^N
+(the reference stores uint32, which overflows at order 16 where an interval
+ending at cell 2^32-1 needs end = 2^32; uint64 keeps [start,end) exact)
 raster (containers.h:33-96): A-list (ALL cells the geometry touches, stored
 as flat [start,end) pairs) and F-list (FULL cells, polygon-interior only).
 
@@ -98,7 +100,7 @@ def _edge_cells(p: np.ndarray, closed: bool, cells_per_dim: int) -> np.ndarray:
 
 def rasterize_geometry(gtype: int, coords: np.ndarray, bounds,
                        order: int) -> tuple[np.ndarray, np.ndarray]:
-    """-> (all_intervals, full_intervals) flat uint32 [s,e) pairs."""
+    """-> (all_intervals, full_intervals) flat uint64 [s,e) pairs."""
     cells_per_dim = 1 << order
     if gtype == GT_BOX:
         p = box_to_ring(coords)
@@ -113,7 +115,7 @@ def rasterize_geometry(gtype: int, coords: np.ndarray, bounds,
     x0, y0, x1, y1 = bounds
     if (p[:, 0].min() < x0 or p[:, 1].min() < y0
             or p[:, 0].max() > x1 or p[:, 1].max() > y1):
-        return (np.zeros(0, np.uint32),) * 2
+        return (np.zeros(0, np.uint64),) * 2
     sp = _scale(p, bounds, cells_per_dim)
     closed = gtype in (GT_POLYGON, GT_BOX)
     cells = _edge_cells(sp, closed, cells_per_dim)
@@ -123,7 +125,7 @@ def rasterize_geometry(gtype: int, coords: np.ndarray, bounds,
     cy = key // cells_per_dim
     ids = np.sort(xy2d(order, cx, cy))
     if len(ids) == 0:
-        return (np.zeros(0, np.uint32),) * 2
+        return (np.zeros(0, np.uint64),) * 2
     gaps = np.nonzero(np.diff(ids) > 1)[0]       # gap between ids[i], ids[i+1]
     if region and len(gaps):
         gx, gy = d2xy(order, ids[gaps] + 1)
@@ -135,12 +137,12 @@ def rasterize_geometry(gtype: int, coords: np.ndarray, bounds,
     empty_idx = gaps[~full_gap]
     starts = np.concatenate([[ids[0]], ids[empty_idx + 1]])
     ends = np.concatenate([ids[empty_idx] + 1, [ids[-1] + 1]])
-    all_iv = np.empty(2 * len(starts), dtype=np.uint32)
+    all_iv = np.empty(2 * len(starts), dtype=np.uint64)
     all_iv[0::2] = starts
     all_iv[1::2] = ends
     # FULL intervals: the full gaps
     fg = gaps[full_gap]
-    full_iv = np.empty(2 * len(fg), dtype=np.uint32)
+    full_iv = np.empty(2 * len(fg), dtype=np.uint64)
     full_iv[0::2] = ids[fg] + 1
     full_iv[1::2] = ids[fg + 1]
     return all_iv, full_iv
@@ -283,7 +285,7 @@ def load_april(path: str):
 # ---------------------------------------------------------------------------
 
 def make_april_fn(bounds, order: int):
-    """Stage: add april_all / april_full list<uint32> columns.
+    """Stage: add april_all / april_full list<uint64> columns.
 
     Raster bounds live in the closure (the reference keeps them in the
     rasterizer module global, generate.cpp:8-20; ST2 in SURVEY §2.3).
@@ -301,9 +303,9 @@ def make_april_fn(bounds, order: int):
             alls.append(a)
             fulls.append(f)
         t = t.append_column("april_all", pa.array(
-            [a.tolist() for a in alls], type=pa.list_(pa.uint32())))
+            [a.tolist() for a in alls], type=pa.list_(pa.uint64())))
         t = t.append_column("april_full", pa.array(
-            [f.tolist() for f in fulls], type=pa.list_(pa.uint32())))
+            [f.tolist() for f in fulls], type=pa.list_(pa.uint64())))
         return t
 
     return april_gen

@@ -1,9 +1,23 @@
 """Deduplication operators for training-data pipelines.
 
-Scale pattern (ray_guide 'Aggregation at scale'): per-batch vectorized
-signatures -> explode to (band, key) rows -> ONE groupby shuffle on the
-band key -> per-group candidate pairs -> exact verification.  Only
-signatures ride the shuffle, never documents.
+Scale pattern: per-batch vectorized signatures -> explode to (band, key)
+rows carrying the verification payload (shingle set / simhash / normalized
+embedding) as a column -> ONE groupby shuffle on the band key -> pairs are
+formed AND exactly verified inside ``map_groups``.  Nothing corpus-sized
+ever lands on the driver: the driver sees only the verified pair list.
+
+Exactly-once emission without a second shuffle: every row also carries the
+FULL signature, so band b's bucket can check whether a pair already
+collides in some band b' < b (vectorized slice compare) and skip it —
+each pair is emitted by its lowest colliding band only.
+
+Memory bound per bucket: a bucket's population is the set of docs sharing
+one band signature, i.e. a near-duplicate cluster (plus hash-collision
+noise, ~ n/2^64 expected).  Verification builds an (n x U) membership
+matrix (U = union of the cluster's shingle sets); for a cluster of n docs
+of ~S shingles each that is n * n*S int32 — safe for real clusters (n in
+the tens).  A corpus dominated by byte-identical docs should run
+``exact_dedup_groups`` first so clusters enter the LSH stage collapsed.
 
 * exact:     content-hash groupby, keep min id per group (SQL twin).
 * MinHash+LSH: char-shingle -> k permutations -> b bands x r rows; a pair
@@ -122,105 +136,140 @@ EXACT_DEDUP_SQL = ("SELECT md5(text) AS h, MIN(doc_id) AS keep_id, "
                    "COUNT(*) AS dup_count FROM documents GROUP BY 1")
 
 
-def _pairs_from_groups(grouped: Dataset, verify_fn) -> pd.DataFrame:
-    """Collect candidate buckets, form pairs, verify, dedupe (driver-side
-    final step; candidate volume is tiny relative to the corpus)."""
-    seen = set()
-    out_a, out_b = [], []
-    for row in grouped.take_all():
-        ids = sorted(row["ids"])
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                key = (ids[i], ids[j])
-                if key in seen:
-                    continue
-                seen.add(key)
-                if verify_fn(*key):
-                    out_a.append(key[0])
-                    out_b.append(key[1])
-    df = pd.DataFrame({"doc_id_a": np.array(out_a, dtype=np.int64),
-                       "doc_id_b": np.array(out_b, dtype=np.int64)})
-    return df.sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
+_EMPTY_PAIRS = pd.DataFrame({"doc_id_a": pd.Series([], dtype=np.int64),
+                             "doc_id_b": pd.Series([], dtype=np.int64)})
+
+
+def _sorted_pairs_df(pairs: Dataset) -> pd.DataFrame:
+    """Materialize the (tiny) verified pair list on the driver, sorted."""
+    df = pairs.to_pandas()
+    if len(df) == 0:
+        return _EMPTY_PAIRS.copy()
+    return df.astype(np.int64).sort_values(["doc_id_a", "doc_id_b"]) \
+        .reset_index(drop=True)
 
 
 def minhash_near_dups(docs: Dataset, threshold: float = 0.6,
                       num_perm: int = 64, bands: int = 32,
                       shingle_k: int = 5, seed: int = 1) -> pd.DataFrame:
-    """MinHash-LSH near-duplicate pairs, exact-Jaccard verified.
+    """MinHash-LSH near-duplicate pairs, exact-Jaccard verified in-shuffle.
 
     bands x rows = num_perm; recall for J >= t is 1-(1-J^r)^b (with r=2,
     b=32: ~1.0 for J >= 0.8, 0.97 for J = 0.6).  Verification is exact, so
-    precision is 1.0."""
+    precision is 1.0.  Each bucket row carries the doc's shingle set and
+    full signature; verification happens inside the band-bucket map_groups
+    (membership-matrix Jaccard) and each pair is emitted from its lowest
+    colliding band only — the driver never sees documents or shingles."""
     r = num_perm // bands
 
     def sig_rows(df: pd.DataFrame) -> pd.DataFrame:
-        rows = []
+        bks, dids, sigs, shs = [], [], [], []
         for did, text in zip(df["doc_id"], df["text"].fillna("")):
-            sig = minhash_signature(char_shingles(text, shingle_k),
-                                    num_perm, seed)
+            sh = char_shingles(text, shingle_k)
+            sig = minhash_signature(sh, num_perm, seed)
             for b in range(bands):
                 band = sig[b * r:(b + 1) * r]
                 key = hashlib.blake2b(band.tobytes(),
                                       digest_size=8).hexdigest()
-                rows.append((f"{b}:{key}", int(did)))
-        return pd.DataFrame(rows, columns=["bucket", "doc_id"])
+                bks.append(f"{b:02d}:{key}")
+                dids.append(int(did))
+                sigs.append(sig)
+                shs.append(sh)
+        return pd.DataFrame({"bucket": bks, "doc_id": dids,
+                             "sig": sigs, "shingles": shs})
 
-    buckets = docs.map_batches(sig_rows, batch_format="pandas")
+    def verify_group(g: pd.DataFrame) -> pd.DataFrame:
+        n = len(g)
+        if n < 2:
+            return _EMPTY_PAIRS.copy()
+        order = np.argsort(g["doc_id"].to_numpy())
+        ids = g["doc_id"].to_numpy()[order].astype(np.int64)
+        b = int(g["bucket"].iloc[0].split(":", 1)[0])
+        iu, ju = np.triu_indices(n, 1)
+        if b > 0:
+            S = np.stack([np.asarray(s, dtype=np.uint64)
+                          for s in g["sig"].to_numpy()[order]])
+            Sb = S.reshape(n, bands, r)[:, :b, :]
+            dup = (Sb[iu] == Sb[ju]).all(axis=2).any(axis=1)
+            iu, ju = iu[~dup], ju[~dup]
+            if len(iu) == 0:
+                return _EMPTY_PAIRS.copy()
+        sh = [np.asarray(s, dtype=np.uint64)
+              for s in g["shingles"].to_numpy()[order]]
+        uni = np.unique(np.concatenate(sh))
+        B = np.zeros((n, len(uni)), dtype=np.int32)
+        for k, s in enumerate(sh):
+            B[k, np.searchsorted(uni, s)] = 1
+        inter = B @ B.T
+        sizes = B.sum(axis=1)
+        union = sizes[iu] + sizes[ju] - inter[iu, ju]
+        # same float expression as jaccard() so thresholds round identically
+        jac = np.where(union > 0, inter[iu, ju] / np.maximum(union, 1), 1.0)
+        ok = jac >= threshold
+        return pd.DataFrame({"doc_id_a": ids[iu[ok]],
+                             "doc_id_b": ids[ju[ok]]})
 
-    def collect(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"ids": pd.Series([], dtype=object)})
-        return pd.DataFrame({"ids": [g["doc_id"].tolist()]})
-
-    grouped = buckets.groupby("bucket").map_groups(collect,
-                                                   batch_format="pandas")
-    texts = {int(r["doc_id"]): r["text"]
-             for r in docs.select_columns(["doc_id", "text"]).take_all()}
-    sh = {d: char_shingles(t or "", shingle_k) for d, t in texts.items()}
-
-    def verify(a, b):
-        return jaccard(sh[a], sh[b]) >= threshold
-
-    return _pairs_from_groups(grouped, verify)
+    pairs = docs.select_columns(["doc_id", "text"]) \
+        .map_batches(sig_rows, batch_format="pandas") \
+        .groupby("bucket").map_groups(verify_group, batch_format="pandas")
+    return _sorted_pairs_df(pairs)
 
 
 def simhash_near_dups(docs: Dataset, max_hamming: int = 3) -> pd.DataFrame:
-    """SimHash near-dups: EXACT for max_hamming <= 3 (4-band pigeonhole)."""
+    """SimHash near-dups: EXACT for max_hamming <= 3 (4-band pigeonhole).
+
+    Hamming verification runs inside the band-bucket map_groups on the
+    uint64 signatures carried on the bucket rows; a pair is emitted only by
+    its lowest colliding 16-bit band."""
 
     def sig_rows(df: pd.DataFrame) -> pd.DataFrame:
-        rows = []
+        bks, dids, sigs = [], [], []
         for did, text in zip(df["doc_id"], df["text"].fillna("")):
             h = simhash64(text)
             for b in range(4):
                 part = int((h >> np.uint64(16 * b)) & np.uint64(0xFFFF))
-                rows.append((f"{b}:{part}", int(did), int(h)))
-        return pd.DataFrame(rows, columns=["bucket", "doc_id", "sig"])
+                bks.append(f"{b}:{part}")
+                dids.append(int(did))
+                sigs.append(int(h))
+        return pd.DataFrame({"bucket": bks, "doc_id": dids,
+                             "sig": np.array(sigs, dtype=np.uint64)})
 
-    buckets = docs.map_batches(sig_rows, batch_format="pandas")
+    def verify_group(g: pd.DataFrame) -> pd.DataFrame:
+        n = len(g)
+        if n < 2:
+            return _EMPTY_PAIRS.copy()
+        order = np.argsort(g["doc_id"].to_numpy())
+        ids = g["doc_id"].to_numpy()[order].astype(np.int64)
+        sig = np.asarray(g["sig"].to_numpy()[order]).astype(np.uint64)
+        b = int(g["bucket"].iloc[0].split(":", 1)[0])
+        iu, ju = np.triu_indices(n, 1)
+        if b > 0:
+            sh = (sig[:, None] >> (np.uint64(16)
+                                   * np.arange(b, dtype=np.uint64)[None, :])
+                  ) & np.uint64(0xFFFF)
+            dup = (sh[iu] == sh[ju]).any(axis=1)
+            iu, ju = iu[~dup], ju[~dup]
+            if len(iu) == 0:
+                return _EMPTY_PAIRS.copy()
+        ok = hamming64(sig[iu], sig[ju]) <= max_hamming
+        return pd.DataFrame({"doc_id_a": ids[iu[ok]],
+                             "doc_id_b": ids[ju[ok]]})
 
-    def collect(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"ids": pd.Series([], dtype=object)})
-        return pd.DataFrame({"ids": [g["doc_id"].tolist()]})
-
-    grouped = buckets.groupby("bucket").map_groups(collect,
-                                                   batch_format="pandas")
-    sigs = {}
-    for r in buckets.take_all():
-        sigs[int(r["doc_id"])] = np.uint64(r["sig"] & 0xFFFFFFFFFFFFFFFF)
-
-    def verify(a, b):
-        return int(hamming64(np.array([sigs[a]]),
-                             np.array([sigs[b]]))[0]) <= max_hamming
-
-    return _pairs_from_groups(grouped, verify)
+    pairs = docs.select_columns(["doc_id", "text"]) \
+        .map_batches(sig_rows, batch_format="pandas") \
+        .groupby("bucket").map_groups(verify_group, batch_format="pandas")
+    return _sorted_pairs_df(pairs)
 
 
 def embedding_near_dups(vecs: Dataset, threshold: float = 0.95,
                         planes: int = 64, bands: int = 16,
                         seed: int = 7) -> pd.DataFrame:
     """Embedding near-dups: random-hyperplane signature bands -> exact
-    cosine verification (the SimHash-for-vectors scale path)."""
+    cosine verification (the SimHash-for-vectors scale path).
+
+    Bucket rows carry the normalized float64 embedding and the raw plane
+    bits; cosine verification is one (n x d)(d x n) matmul inside each
+    band-bucket map_groups, lowest-band exactly-once emission as above."""
     rng = np.random.default_rng(seed)
     first = vecs.take(1)[0]
     dim = len(first["embedding"])
@@ -229,31 +278,45 @@ def embedding_near_dups(vecs: Dataset, threshold: float = 0.95,
 
     def sig_rows(df: pd.DataFrame) -> pd.DataFrame:
         emb = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        norm = emb / np.maximum(
+            np.linalg.norm(emb, axis=1, keepdims=True), 1e-300)
         bits = (emb @ H) > 0
-        rows = []
+        bks, vids, nvs, bvs = [], [], [], []
         for k, vid in enumerate(df["vec_id"]):
             for b in range(bands):
                 key = np.packbits(bits[k, b * r:(b + 1) * r]).tobytes()
-                rows.append((f"{b}:{key.hex()}", int(vid)))
-        return pd.DataFrame(rows, columns=["bucket", "vec_id"])
+                bks.append(f"{b:02d}:{key.hex()}")
+                vids.append(int(vid))
+                nvs.append(norm[k])
+                bvs.append(bits[k].astype(np.uint8))
+        return pd.DataFrame({"bucket": bks, "vec_id": vids,
+                             "nvec": nvs, "bits": bvs})
 
-    buckets = vecs.map_batches(sig_rows, batch_format="pandas")
+    def verify_group(g: pd.DataFrame) -> pd.DataFrame:
+        n = len(g)
+        if n < 2:
+            return _EMPTY_PAIRS.copy()
+        order = np.argsort(g["vec_id"].to_numpy())
+        ids = g["vec_id"].to_numpy()[order].astype(np.int64)
+        b = int(g["bucket"].iloc[0].split(":", 1)[0])
+        iu, ju = np.triu_indices(n, 1)
+        if b > 0:
+            bits = np.stack([np.asarray(x, dtype=np.uint8)
+                             for x in g["bits"].to_numpy()[order]])
+            Bb = bits.reshape(n, bands, r)[:, :b, :]
+            dup = (Bb[iu] == Bb[ju]).all(axis=2).any(axis=1)
+            iu, ju = iu[~dup], ju[~dup]
+            if len(iu) == 0:
+                return _EMPTY_PAIRS.copy()
+        E = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in g["nvec"].to_numpy()[order]])
+        cos = E @ E.T
+        ok = cos[iu, ju] >= threshold
+        return pd.DataFrame({"doc_id_a": ids[iu[ok]],
+                             "doc_id_b": ids[ju[ok]]})
 
-    def collect(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"ids": pd.Series([], dtype=object)})
-        return pd.DataFrame({"ids": [g["vec_id"].tolist()]})
-
-    grouped = buckets.groupby("bucket").map_groups(collect,
-                                                   batch_format="pandas")
-    emb = {}
-    for row in vecs.take_all():
-        v = np.asarray(row["embedding"], dtype=np.float64)
-        emb[int(row["vec_id"])] = v / max(np.linalg.norm(v), 1e-300)
-
-    def verify(a, b):
-        return float(emb[a] @ emb[b]) >= threshold
-
-    df = _pairs_from_groups(grouped, verify)
-    return df.rename(columns={"doc_id_a": "vec_id_a",
-                              "doc_id_b": "vec_id_b"})
+    pairs = vecs.select_columns(["vec_id", "embedding"]) \
+        .map_batches(sig_rows, batch_format="pandas") \
+        .groupby("bucket").map_groups(verify_group, batch_format="pandas")
+    return _sorted_pairs_df(pairs).rename(
+        columns={"doc_id_a": "vec_id_a", "doc_id_b": "vec_id_b"})

@@ -56,7 +56,7 @@ def tumbling_window_agg_sql(window_us: int = HOUR_US) -> str:
                    AS window_id,
                event_type,
                COUNT(*) AS n,
-               SUM(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT))
-                   AS value_milli
+               CAST(SUM(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT))
+                    AS BIGINT) AS value_milli
         FROM events GROUP BY 1, 2
     """

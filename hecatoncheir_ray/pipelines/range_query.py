@@ -71,8 +71,8 @@ def range_query(ds: Dataset, windows, mode: str = "collect"):
     mode 'count'   -> pandas DataFrame(query_id, result_count), zero-filled.
     The COUNT path pre-aggregates per batch and merges the tiny partials on
     the driver (a ray-level groupby costs a full shuffle barrier for a
-    result of len(windows) rows — the wrong tool; see ray_guide
-    'Aggregation at scale').
+    result of len(windows) rows — the wrong tool; partial-aggregate inside
+    map_batches, then merge the tiny partials).
     """
     if mode == "count":
         return range_counts(ds, windows)

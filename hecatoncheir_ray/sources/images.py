@@ -244,7 +244,7 @@ def synth_image_rows(ids: np.ndarray, seed: int = 42) -> pa.Table:
 def ray_image_table(n: int, seed: int = 42, parallelism: int = -1):
     """Distributed deterministic image table (row i independent of batching).
 
-    Wide binary rows: keep batches small (ray_guide 'Memory-aware')."""
+    Wide binary rows: keep batches small so batch x concurrency fits worker heaps."""
     import ray.data as rd
 
     def build(batch: pa.Table) -> pa.Table:

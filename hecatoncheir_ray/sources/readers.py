@@ -7,10 +7,9 @@
 * CSV (partitioning.cpp:201-354): ``id,x y,x y,...`` rows.
 
 ``load_*_table`` are driver-side loaders for small query/golden files;
-``read_wkt`` is the distributed path (ray.data.read_text -> vectorized
-parse).  NOTE distributed reads cannot reproduce global line numbers; pass
-``ids="line"`` only for single-file driver-side loads — at scale use the
-default content-independent ids or supply an id column.
+``read_wkt`` is the distributed path (per-file tasks, collision-free ids:
+file_rank * FILE_ID_STRIDE + line number; single-file ids equal the
+driver-side loader's line numbers exactly).
 """
 
 from __future__ import annotations
@@ -88,29 +87,61 @@ def load_csv_table(path: str, data_type: str) -> pa.Table:
     return _geom_table(ids, gts, coords)
 
 
-def read_wkt(paths, data_type: str | None = None):
-    """Distributed WKT reader: ray.data.read_text -> parse map_batches.
+FILE_ID_STRIDE = 1 << 40    # ids = file_rank * stride + line number
 
-    ids are assigned per (block, offset) — deterministic for a fixed file
-    layout but NOT global line numbers (see module doc)."""
+
+def read_wkt(paths, data_type: str | None = None):
+    """Distributed WKT reader with collision-free stable ids.
+
+    Each file is parsed whole in one task; ``id = file_rank * FILE_ID_STRIDE
+    + 0-based line number`` where file_rank is the file's index in the sorted
+    path list.  For a single file this reproduces the driver-side
+    ``load_wkt_table`` ids exactly (reference recID semantics,
+    partitioning.cpp:526).  The unit of read parallelism is the file — at
+    100 TB the corpus is many files, so this matches the reference's
+    per-file loading while keeping ids stable regardless of Ray's block
+    re-batching (a per-batch enumerate would collide across blocks)."""
+    import os
     import ray.data as rd
     want = _NAME_TO_GTYPE.get(data_type) if data_type else None
 
+    if isinstance(paths, (str, os.PathLike)):
+        paths = [str(paths)]
+    files: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            files += [os.path.join(p, f) for f in sorted(os.listdir(p))
+                      if not f.startswith(".")]
+        else:
+            files.append(str(p))
+    files = sorted(dict.fromkeys(os.path.abspath(f) for f in files))
+    rank = {f: i for i, f in enumerate(files)}
+
+    def _rank_of(path: str) -> int:
+        # read_binary_files may return scheme-stripped/absolute paths
+        p = os.path.abspath(path.split("://", 1)[-1])
+        return rank[p]
+
     def parse(t: pa.Table) -> pa.Table:
         ids, gts, coords = [], [], []
-        for i, line in enumerate(t["text"].to_pylist()):
-            line = line.split("\t")[0].strip()
-            if not line:
-                continue
-            g = parse_wkt(line)
-            if g is None or (want is not None and g[0] != want):
-                continue
-            ids.append(i)
-            gts.append(g[0])
-            coords.append(np.asarray(g[1]))
+        for path, data in zip(t["path"].to_pylist(),
+                              t["bytes"].to_pylist()):
+            base = _rank_of(path) * FILE_ID_STRIDE
+            for lineno, line in enumerate(
+                    data.decode("utf-8", "replace").splitlines()):
+                line = line.split("\t")[0].strip()
+                if not line:
+                    continue
+                g = parse_wkt(line)
+                if g is None or (want is not None and g[0] != want):
+                    continue
+                ids.append(base + lineno)
+                gts.append(g[0])
+                coords.append(np.asarray(g[1]))
         return _geom_table(ids, gts, coords)
 
-    return rd.read_text(paths).map_batches(parse, batch_format="pyarrow")
+    return rd.read_binary_files(files, include_paths=True) \
+        .map_batches(parse, batch_size=1, batch_format="pyarrow")
 
 
 def write_partitioned(ds, out_dir: str, grid=None):

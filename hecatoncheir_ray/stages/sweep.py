@@ -391,7 +391,7 @@ def _list_col_np(t: pa.Table, name: str):
     col = t[name]
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     if isinstance(arr, pa.ChunkedArray):
-        arr = pa.array([], type=pa.list_(pa.uint32()))
+        arr = pa.array([], type=pa.list_(pa.uint64()))
     return np.asarray(arr.offsets), np.asarray(arr.values)
 
 

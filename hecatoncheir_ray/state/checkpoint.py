@@ -100,6 +100,8 @@ def _fingerprint(predicate: str, cfg, num_slices: int, lineage: dict) -> str:
                        "dataspace": cfg.dataspace,
                        "parts": cfg.shuffle_parts,
                        "filter": cfg.intermediate_filter,
+                       "mbr_filter": cfg.mbr_filter,
+                       "refinement": cfg.refinement,
                        "num_slices": num_slices,
                        "lineage": lineage}, sort_keys=True)
     return hashlib.md5(blob.encode()).hexdigest()
@@ -136,6 +138,11 @@ def resumable_spatial_join(r_factory, s_factory, predicate: str, cfg,
                              slice_id=(k, num_slices),
                              metrics_scope=scope)
         slice_dir = os.path.join(out_dir, f"slice={k}")
+        # A crashed attempt leaves partial parquet files behind and
+        # write_parquet APPENDs with unique filenames -- wipe first so a
+        # resumed slice can't double-count rows.
+        import shutil
+        shutil.rmtree(slice_dir, ignore_errors=True)
         pairs.write_parquet(slice_dir)
         # rows written, from the parquet footers (ground truth)
         import pyarrow.parquet as pq
@@ -155,11 +162,17 @@ def resumable_spatial_join(r_factory, s_factory, predicate: str, cfg,
 
 
 def read_join_output(out_dir: str):
-    """Read all finished slices back as one Dataset."""
+    """Read back only slices whose manifest says 'done' (a crashed slice
+    may have partial parquet files on disk -- they must not be read)."""
     import ray.data as rd
+    store = CheckpointStore(out_dir)
     files = []
     for d in sorted(os.listdir(out_dir)):
         if d.startswith("slice="):
+            k = int(d.split("=", 1)[1])
+            m = store.manifest(k)
+            if not (m and m.get("status") == "done"):
+                continue
             sd = os.path.join(out_dir, d)
             files += [os.path.join(sd, f) for f in sorted(os.listdir(sd))
                       if f.endswith(".parquet")]
