@@ -136,6 +136,40 @@ def _q_knn_points(sf_dir: str):
     return out.select_columns(["query_id", "id"])
 
 
+def _point_store(sf_dir: str) -> str:
+    """Cell-partitioned parquet store of the event points (built once per
+    sf_dir under /tmp; backs the fragment-pruned range/kNN variants)."""
+    import os
+    from hecatoncheir_ray.config import GridSpec
+    from hecatoncheir_ray.sources.store import write_spatial
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = f"/tmp/hec_store_{tag}"
+    if not os.path.exists(os.path.join(out, "_spatial_manifest.json")):
+        pts = derive.ray_points_events(sf_dir)
+        from hecatoncheir_ray.pipelines.spatial_join import compute_dataspace
+        grid = GridSpec(*compute_dataspace(pts), ppd=64)
+        write_spatial(derive.ray_points_events(sf_dir), out, grid,
+                      group_shift=4)
+    return out
+
+
+def _q_range_count_points_pruned(sf_dir: str):
+    """Same result as range_count_points, but reads only fragments whose
+    footer MBR intersects a window (reference range_filter.cpp pruning)."""
+    from hecatoncheir_ray.sources.store import range_query_store
+    wins = [(qid, GT_BOX, np.array([x0, y0, x1, y1]))
+            for qid, x0, y0, x1, y1 in _RANGE_WINDOWS]
+    return range_query_store(_point_store(sf_dir), wins, mode="count")
+
+
+def _q_knn_points_pruned(sf_dir: str):
+    """Same result as knn_points via cell-ring fragment pruning
+    (reference knn_filter.cpp distanceToPartition bound)."""
+    from hecatoncheir_ray.sources.store import knn_query_store
+    out = knn_query_store(_point_store(sf_dir), _KNN_QUERIES, _KNN_K)
+    return out.select_columns(["query_id", "id"])
+
+
 def _q_distance_join_pairs(sf_dir: str):
     from hecatoncheir_ray.pipelines.distance_join import distance_join
     pts = derive.ray_points_events(sf_dir)
@@ -247,6 +281,12 @@ def _q_exact_dedup(sf_dir: str):
     return exact_dedup_groups(_docs(sf_dir))
 
 
+def _q_ngram_jaccard_pairs(sf_dir: str):
+    from hecatoncheir_ray.functions.dedup import ngram_jaccard_pairs
+    return ngram_jaccard_pairs(_docs(sf_dir), threshold_num=3,
+                               threshold_den=5)
+
+
 def _q_ann_topk_ip(sf_dir: str):
     from hecatoncheir_ray.functions.simsearch import topk_ip_quantized
     return topk_ip_quantized(_vecs(sf_dir), [0, 1, 2], k=10)
@@ -296,6 +336,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "box_find_relation_counts": _q_box_find_relation_counts,
         "range_count_points": _q_range_count_points,
         "knn_points": _q_knn_points,
+        "range_count_points_pruned": _q_range_count_points_pruned,
+        "knn_points_pruned": _q_knn_points_pruned,
         "distance_join_pairs": _q_distance_join_pairs,
         "global_bounds": _q_global_bounds,
         "poly_join_pairs": _q_poly_join_pairs,
@@ -309,6 +351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_id": _q_doc_lang_id,
         "doc_fingerprints": _q_doc_fingerprints,
         "exact_dedup": _q_exact_dedup,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "ann_topk_ip": _q_ann_topk_ip,
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash_near_dups": _q_simhash_near_dups,
@@ -382,6 +425,23 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY (p.x - q.qx)*(p.x - q.qx)
                                   + (p.y - q.qy)*(p.y - q.qy), p.id) AS rn
                 FROM q, p) WHERE rn <= {_KNN_K}""",
+        "range_count_points_pruned": f"""
+            WITH p AS ({pts}),
+            w(query_id, minx, miny, maxx, maxy) AS (VALUES {win_values})
+            SELECT w.query_id AS query_id, COUNT(p.id) AS result_count
+            FROM w LEFT JOIN p
+              ON p.x >= w.minx AND p.x <= w.maxx
+             AND p.y >= w.miny AND p.y <= w.maxy
+            GROUP BY w.query_id""",
+        "knn_points_pruned": f"""
+            WITH p AS ({pts}), q(query_id, qx, qy) AS (VALUES {knn_values})
+            SELECT query_id, id FROM (
+                SELECT q.query_id AS query_id, p.id AS id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY (p.x - q.qx)*(p.x - q.qx)
+                                  + (p.y - q.qy)*(p.y - q.qy), p.id) AS rn
+                FROM q, p) WHERE rn <= {_KNN_K}""",
         "distance_join_pairs": f"""
             WITH p AS ({pts})
             SELECT a.id AS r_id, b.id AS s_id FROM p a, p b
@@ -402,6 +462,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_lang_id": _text.lang_id_sql(),
         "doc_fingerprints": _text.FINGERPRINTS_SQL,
         "exact_dedup": _dedup.EXACT_DEDUP_SQL,
+        "ngram_jaccard_pairs": _dedup.ngram_jaccard_sql(3, 5),
         "ann_topk_ip": _simsearch.topk_ip_quantized_sql([0, 1, 2], k=10),
         "doc_bpe_tokens": _text.BPE_TOKENS_SQL,
         "event_window_agg": _windows.tumbling_window_agg_sql(),

@@ -27,6 +27,21 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 _POLY_KW = dict(min_edge=0.02, max_edge=0.12, min_v=5, max_v=24)
 
 
+def _tune_context(ctx):
+    """Session tuning measured in BENCH/BASELINE.md:
+
+    * small target block sizes -> the sort emits ~4x num_cpus reduce blocks
+      so the join kernel packs without stragglers (default 128 MiB blocks
+      collapsed the kernel stage to 16 tasks with a 17 s straggler);
+    * op resource reservation off -> the streaming executor stops holding
+      CPU slots for idle downstream operators in these short multi-stage
+      pipelines (~2.5 s per query at 8 CPUs).
+    """
+    ctx.target_min_block_size = 1
+    ctx.target_max_block_size = 16 * 1024 * 1024
+    ctx.op_resource_reservation_enabled = False
+
+
 def _table_rows(name: str) -> int:
     import pyarrow.parquet as pq
     return pq.read_metadata(f"{SF_DIR}/{name}.parquet").num_rows
@@ -41,6 +56,7 @@ def run_bench() -> dict:
     from ray.data import DataContext
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    _tune_context(ctx)
 
     from hecatoncheir_ray import EngineConfig, spatial_join
     from hecatoncheir_ray.pipelines.distance_join import distance_join
@@ -119,7 +135,9 @@ def run_heavy() -> dict:
         ray.init(address="local", num_cpus=NUM_CPUS,
                  include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
-    DataContext.get_current().enable_progress_bars = False
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    _tune_context(ctx)
 
     from hecatoncheir_ray import EngineConfig, spatial_join
     from hecatoncheir_ray.sources.synth import ray_layer

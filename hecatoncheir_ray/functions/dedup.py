@@ -136,6 +136,110 @@ EXACT_DEDUP_SQL = ("SELECT md5(text) AS h, MIN(doc_id) AS keep_id, "
                    "COUNT(*) AS dup_count FROM documents GROUP BY 1")
 
 
+def _word_ngrams(text: str, k: int) -> set:
+    """Distinct word k-grams, split on single spaces (DuckDB string_split
+    parity: consecutive spaces yield empty tokens)."""
+    w = text.split(" ")
+    return {" ".join(w[i:i + k]) for i in range(len(w) - k + 1)}
+
+
+def ngram_jaccard_pairs(docs: Dataset, threshold_num: int = 3,
+                        threshold_den: int = 5, k: int = 3) -> Dataset:
+    """EXACT all-pairs word-k-gram Jaccard dedup via inverted index.
+
+    The brute-force oracle of the LSH family, distributed: explode each doc
+    into its DISTINCT word k-grams -> groupby(gram) emits the doc pairs
+    sharing that gram with contribution 1 -> Count aggregate per pair gives
+    the intersection size -> Jaccard tested in integer arithmetic
+    ``den*inter >= num*(|A|+|B|-inter)`` (bit-exact SQL twin, no float
+    boundary).  Per-doc distinct-gram counts ride via a broadcast dict
+    (ray.put once, read per batch); docs' gram sets never leave their
+    groups.  Docs with fewer than k words have no grams.
+
+    Scale note: a gram shared by g docs emits g(g-1)/2 pair rows — this is
+    the exact-oracle path for verification and modest corpora; the LSH
+    operators above are the 100 TB path (word k-grams, not char k-grams,
+    precisely because boilerplate-heavy corpora make char grams near-flat).
+    """
+    import ray
+
+    def gram_rows(df: pd.DataFrame) -> pd.DataFrame:
+        dids, grams = [], []
+        for did, text in zip(df["doc_id"], df["text"].fillna("")):
+            gs = _word_ngrams(text, k)
+            dids.extend([int(did)] * len(gs))
+            grams.extend(gs)
+        return pd.DataFrame({"doc_id": np.array(dids, dtype=np.int64),
+                             "gram": grams})
+
+    def size_rows(df: pd.DataFrame) -> pd.DataFrame:
+        n = [len(_word_ngrams(t, k)) for t in df["text"].fillna("")]
+        return pd.DataFrame({"doc_id": df["doc_id"].astype(np.int64),
+                             "n": np.array(n, dtype=np.int64)})
+
+    txt = docs.select_columns(["doc_id", "text"])
+    sizes_df = txt.map_batches(size_rows, batch_format="pandas").to_pandas()
+    sizes_ref = ray.put(dict(zip(sizes_df["doc_id"], sizes_df["n"])))
+
+    def pairs_in_gram(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].to_numpy().astype(np.int64))
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_id_a": np.array([], dtype=np.int64),
+                                 "doc_id_b": np.array([], dtype=np.int64)})
+        iu, ju = np.triu_indices(len(ids), 1)
+        return pd.DataFrame({"doc_id_a": ids[iu], "doc_id_b": ids[ju]})
+
+    def verify_batch(df: pd.DataFrame) -> pd.DataFrame:
+        sizes = ray.get(sizes_ref)
+        a = df["doc_id_a"].to_numpy().astype(np.int64)
+        b = df["doc_id_b"].to_numpy().astype(np.int64)
+        inter = df["inter"].to_numpy().astype(np.int64)
+        na = np.array([sizes[x] for x in a], dtype=np.int64)
+        nb = np.array([sizes[x] for x in b], dtype=np.int64)
+        keep = threshold_den * inter >= threshold_num * (na + nb - inter)
+        return pd.DataFrame({"doc_id_a": a[keep], "doc_id_b": b[keep]})
+
+    from ray.data.aggregate import Count
+    return txt.map_batches(gram_rows, batch_format="pandas") \
+        .groupby("gram").map_groups(pairs_in_gram, batch_format="pandas") \
+        .groupby(["doc_id_a", "doc_id_b"]) \
+        .aggregate(Count(alias_name="inter")) \
+        .map_batches(verify_batch, batch_format="pandas")
+
+
+def ngram_jaccard_sql(threshold_num: int = 3, threshold_den: int = 5,
+                      k: int = 3) -> str:
+    """DuckDB twin of ngram_jaccard_pairs (same integer threshold test).
+
+    k is the word-gram width; the gram expression must concatenate exactly
+    k tokens (built below) because generate_series can't take lateral
+    column args in this DuckDB."""
+    gram = " || ' ' || ".join(f"w[i + {j}]" for j in range(k))
+    return f"""
+        WITH words AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        idx AS (
+          SELECT doc_id, w, unnest(generate_series(1, len(w) - {k - 1}))
+                 AS i
+          FROM words WHERE len(w) >= {k}
+        ),
+        sh AS (SELECT DISTINCT doc_id, {gram} AS gram FROM idx),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS c
+          FROM sh a JOIN sh b USING (gram)
+          WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT ia AS doc_id_a, ib AS doc_id_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = ia
+        JOIN sizes sb ON sb.doc_id = ib
+        WHERE {threshold_den} * c >= {threshold_num} * (sa.n + sb.n - c)
+    """
+
+
 _EMPTY_PAIRS = pd.DataFrame({"doc_id_a": pd.Series([], dtype=np.int64),
                              "doc_id_b": pd.Series([], dtype=np.int64)})
 

@@ -137,7 +137,7 @@ def build_padded_rings(offs: np.ndarray, vals: np.ndarray, rows: np.ndarray,
     with np.errstate(divide="ignore", invalid="ignore"):
         inv_dy = np.where(dy != 0, 1.0 / np.where(dy != 0, dy, 1.0), 0.0)
     return (ax, ay, dx, dy, valid, e_on, exmin, exmax, eymin, eymax,
-            inv_dy, by)
+            inv_dy, by, nv)
 
 
 def points_in_rings_batch(px: np.ndarray, py: np.ndarray,
@@ -150,37 +150,43 @@ def points_in_rings_batch(px: np.ndarray, py: np.ndarray,
     :func:`points_in_ring` (1 in / 0 on / -1 out).
     """
     (ax, ay, dxe, dye, valid, e_on, exmin, exmax, eymin, eymax,
-     inv_dy, by) = padded
+     inv_dy, by, nv) = padded
     E = ax.shape[1]
     out = np.empty(len(px), dtype=np.int8)
-    # process points sorted by ring so each ring's padded rows are read as
-    # contiguous repeated gathers (L1-resident across that ring's points)
-    # instead of random DRAM hits — the difference between scaling and
-    # saturating the socket's memory bus
-    order = np.argsort(ring_of_pt, kind="stable")
+    # process points sorted by (ring size, ring): same-ring points read the
+    # ring's padded rows as contiguous repeated gathers (L1-resident across
+    # that ring's points) instead of random DRAM hits, AND each block's
+    # rings share a similar edge count so the block computes over only its
+    # own max-E columns — no paying the batch-max padding for small rings
+    pt_nv = nv[ring_of_pt]
+    order = np.lexsort((ring_of_pt, pt_nv))
     px = px[order]
     py = py[order]
     ring_of_pt = ring_of_pt[order]
+    pt_nv = pt_nv[order]
     sorted_out = np.empty(len(px), dtype=np.int8)
     block = max(64, (1 << 15) // max(E, 1))
     for lo in range(0, len(px), block):
         hi = min(lo + block, len(px))
         g = ring_of_pt[lo:hi]
-        A_x = ax[g]
-        A_y = ay[g]
-        D_x = dxe[g]
-        D_y = dye[g]
-        V = valid[g]
+        e = int(pt_nv[lo:hi].max())          # block-local edge count
+        sl = slice(0, e)
+        A_x = ax[:, sl][g]
+        A_y = ay[:, sl][g]
+        D_x = dxe[:, sl][g]
+        D_y = dye[:, sl][g]
+        V = valid[:, sl][g]
         pxc = px[lo:hi, None]
         pyc = py[lo:hi, None]
         rx = pxc - A_x
         ry = pyc - A_y
         cross = D_x * ry - D_y * rx
-        on = (V & (np.abs(cross) <= e_on[g])
-              & (pxc >= exmin[g]) & (pxc <= exmax[g])
-              & (pyc >= eymin[g]) & (pyc <= eymax[g])).any(axis=1)
-        cond = V & ((A_y <= pyc) != (by[g] <= pyc))
-        xint = A_x + ry * D_x * inv_dy[g]
+        on = (V & (np.abs(cross) <= e_on[:, sl][g])
+              & (pxc >= exmin[:, sl][g]) & (pxc <= exmax[:, sl][g])
+              & (pyc >= eymin[:, sl][g]) & (pyc <= eymax[:, sl][g])) \
+            .any(axis=1)
+        cond = V & ((A_y <= pyc) != (by[:, sl][g] <= pyc))
+        xint = A_x + ry * D_x * inv_dy[:, sl][g]
         crossings = (cond & (pxc < xint)).sum(axis=1)
         inside = (crossings % 2) == 1
         sorted_out[lo:hi] = np.where(on, 0, np.where(inside, 1, -1))

@@ -116,3 +116,25 @@ def test_auto_dataspace(ray_session):
                          "intersects", cfg)
     got = sorted((r["r_id"], r["s_id"]) for r in pairs.take_all())
     assert got == _oracle_pairs(tr, ts, "intersects")
+
+
+def test_line_line_join_vs_oracle(ray_session):
+    """T8NA-style linestring x linestring via the mega-batched edge-cross
+    path (open-path edges; VERDICT r1 item 8)."""
+    ta = table_layer("linestrings", 120, seed=21, bounds=BOUNDS,
+                     min_v=2, max_v=8, step=2.0)
+    tb = table_layer("linestrings", 120, seed=22, bounds=BOUNDS,
+                     min_v=2, max_v=8, step=2.0)
+    for predicate in ["intersects", "disjoint"]:
+        assert _run_join(ta, tb, predicate) == _oracle_pairs(ta, tb,
+                                                             predicate)
+
+
+def test_line_poly_reversed_vs_oracle(ray_session):
+    """Line on the R side, polygon on S (the mixed branch's other arm)."""
+    tl = table_layer("linestrings", 100, seed=23, bounds=BOUNDS,
+                     min_v=2, max_v=8, step=2.0)
+    ts = table_layer("polygons", 80, seed=24, **POLY_KW)
+    for predicate in ["intersects", "disjoint"]:
+        assert _run_join(tl, ts, predicate) == _oracle_pairs(tl, ts,
+                                                             predicate)

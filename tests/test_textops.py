@@ -204,3 +204,28 @@ def test_topk_cosine_ivf(ray_session):
     r = len(set(zip(ivf.query_id, ivf.vec_id))
             & set(zip(brute.query_id, brute.vec_id))) / len(brute)
     assert r >= 0.5
+
+
+def test_ngram_jaccard_vs_duckdb(ray_session):
+    import duckdb
+    from hecatoncheir_ray.functions.dedup import (ngram_jaccard_pairs,
+                                                  ngram_jaccard_sql)
+    df = _corpus_with_dupes()
+    got = ngram_jaccard_pairs(rd.from_pandas(df), threshold_num=3,
+                              threshold_den=5).to_pandas() \
+        .sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", df)
+    exp = con.execute(ngram_jaccard_sql(3, 5)).df() \
+        .sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert len(exp) > 0
+
+
+def test_ngram_jaccard_short_docs(ray_session):
+    from hecatoncheir_ray.functions.dedup import ngram_jaccard_pairs
+    df = pd.DataFrame({"doc_id": np.array([1, 2, 3], dtype=np.int64),
+                       "text": ["ab", "ab", "one two"]})
+    # docs with fewer than k=3 words have no grams -> no pairs from them
+    got = ngram_jaccard_pairs(rd.from_pandas(df)).to_pandas()
+    assert len(got) == 0
