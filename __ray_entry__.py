@@ -391,6 +391,9 @@ def oracle_sql() -> dict[str, str]:
          AND r.miny <= s.miny AND r.maxy >= s.maxy THEN 'contains'
         WHEN r.minx >= s.minx AND r.maxx <= s.maxx
          AND r.miny >= s.miny AND r.maxy <= s.maxy THEN 'inside'
+        WHEN LEAST(r.maxx, s.maxx) - GREATEST(r.minx, s.minx) <= 1e-09
+          OR LEAST(r.maxy, s.maxy) - GREATEST(r.miny, s.miny) <= 1e-09
+        THEN 'meet'
         ELSE 'intersect' END"""
     return {
         "box_join_pairs": f"""

@@ -59,7 +59,11 @@ class EngineConfig:
     april_n: int = 16
 
     # execution knobs
-    assign_batch_size: int = 32768        # rows per cell-assign batch
+    # NOTE: no explicit map_batches batch_size on the assign/APRIL stages —
+    # Ray bundles input blocks up to batch_size rows per task, which caps
+    # stage parallelism (measured: one 24s task for a whole layer); whole
+    # blocks (batch_size=None) parallelize by block count instead.
+    assign_batch_size: int = 32768        # legacy; kept for fingerprints
     pair_chunk: int = 1 << 22             # max |R|x|S| bools per brute chunk
     # shuffle key cardinality: fine cells are hashed into this many coarse
     # partitions; one kernel call handles all cells of a partition.  Size to
@@ -72,8 +76,10 @@ class EngineConfig:
     hot_cell_rows: int = 4096
     salt_factor: int = 4                  # hot cells split salt_factor^2 ways
     # detect hot cells automatically before the join (one extra streaming
-    # pass over the MBR columns) -- or pass hot_cells explicitly
-    auto_salt: bool = False
+    # pass over the MBR columns) and salt them -- default ON so a skewed
+    # dataset cannot serialize one shuffle group; benches on known-uniform
+    # synthetic layers opt out explicitly
+    auto_salt: bool = True
 
     grid: GridSpec | None = field(default=None)
 

@@ -60,8 +60,9 @@ def compute_dataspace(*datasets: Dataset) -> tuple[float, float, float, float]:
 def detect_hot_cells(r: Dataset, s: Dataset, cfg: EngineConfig,
                      grid) -> np.ndarray:
     """Cheap pre-pass: per-cell replicated-row counts -> cells above
-    cfg.hot_cell_rows.  Streams only the 4 MBR columns; the histogram is
-    merged driver-side (ppd^2 ints)."""
+    cfg.hot_cell_rows.  Streams only the 4 MBR columns; each batch emits a
+    SPARSE (cell, n) partial, merged vectorized on the driver (the partials
+    are tiny: nonzero cells per batch, not ppd^2 dense rows)."""
     from ..grid import explode_cells
 
     ncell = grid.ppd * grid.ppd
@@ -73,16 +74,17 @@ def detect_hot_cells(r: Dataset, s: Dataset, cfg: EngineConfig,
                                  batch["miny"].to_numpy(zero_copy_only=False),
                                  batch["maxx"].to_numpy(zero_copy_only=False),
                                  batch["maxy"].to_numpy(zero_copy_only=False))
-        h = np.bincount(cells, minlength=ncell)
-        return pa.table({"h": pa.array([h.astype(np.int64)])})
+        uc, cnt = np.unique(cells, return_counts=True)
+        return pa.table({"cell": pa.array(uc, type=pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64))})
 
     total = np.zeros(ncell, dtype=np.int64)
     for side in (r, s):
         part = side.select_columns(["minx", "miny", "maxx", "maxy"]) \
             .map_batches(hist, batch_format="pyarrow")
         for b in part.iter_batches(batch_format="pyarrow"):
-            for row in b["h"].to_pylist():
-                total += np.asarray(row)
+            np.add.at(total, b["cell"].to_numpy(zero_copy_only=False),
+                      b["n"].to_numpy(zero_copy_only=False))
     return np.nonzero(total > cfg.hot_cell_rows)[0].astype(np.int64)
 
 
@@ -112,24 +114,29 @@ def spatial_join(r: Dataset, s: Dataset, predicate: str = "intersects",
     if cfg.intermediate_filter:
         # APRIL generation stage (ST2: once per object, BEFORE replication;
         # the interval columns ride the shuffle like the reference ships
-        # AprilData with its objects)
+        # AprilData with its objects).  Inputs that already carry the
+        # columns (load_april, reference S9) skip regeneration.
         from ..april import make_april_fn
         gen = make_april_fn(bounds, cfg.april_n)
-        r2 = r2.map_batches(gen, batch_format="pyarrow",
-                            batch_size=cfg.assign_batch_size)
-        s2 = s2.map_batches(gen, batch_format="pyarrow",
-                            batch_size=cfg.assign_batch_size)
+        if "april_all" not in r.schema().names:
+            r2 = r2.map_batches(gen, batch_format="pyarrow")
+        else:
+            r2 = r.select_columns(GEOM_COLS + ["april_all", "april_full"])
+        if "april_all" not in s.schema().names:
+            s2 = s2.map_batches(gen, batch_format="pyarrow")
+        else:
+            s2 = s.select_columns(GEOM_COLS + ["april_all", "april_full"])
         keep_cols += ["april_all", "april_full"]
     r2 = r2.map_batches(
         make_assign_fn(grid, 0, hot_cells, cfg.salt_factor,
                        keep_cols=keep_cols,
                        shuffle_parts=cfg.shuffle_parts),
-        batch_format="pyarrow", batch_size=cfg.assign_batch_size)
+        batch_format="pyarrow")
     s2 = s2.map_batches(
         make_assign_fn(grid, 1, hot_cells, cfg.salt_factor,
                        keep_cols=keep_cols,
                        shuffle_parts=cfg.shuffle_parts),
-        batch_format="pyarrow", batch_size=cfg.assign_batch_size)
+        batch_format="pyarrow")
     both = r2.union(s2)
     if slice_id is not None:
         k, n = slice_id

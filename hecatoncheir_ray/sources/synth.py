@@ -137,8 +137,28 @@ def synth_linestrings(ids: np.ndarray, seed: int, bounds=TIGER_US_BOUNDS,
                        np.nanmax(vx_m, axis=1), np.nanmax(vy_m, axis=1))
 
 
+def synth_boxes(ids: np.ndarray, seed: int, bounds=TIGER_US_BOUNDS,
+                min_edge=0.05, max_edge=0.5) -> pa.Table:
+    """Axis-aligned boxes (coords = [minx,miny,maxx,maxy])."""
+    from ..geometry.core import GT_BOX
+    ids = np.asarray(ids, dtype=np.int64)
+    n = len(ids)
+    x0, y0, x1, y1 = bounds
+    w = min_edge + rand01(ids, seed, 11) * (max_edge - min_edge)
+    h = min_edge + rand01(ids, seed, 12) * (max_edge - min_edge)
+    bx = x0 + rand01(ids, seed, 13) * (x1 - x0 - w)
+    by = y0 + rand01(ids, seed, 14) * (y1 - y0 - h)
+    flat = np.empty(4 * n)
+    flat[0::4] = bx
+    flat[1::4] = by
+    flat[2::4] = bx + w
+    flat[3::4] = by + h
+    offsets = np.arange(0, 4 * n + 1, 4, dtype=np.int32)
+    return _geom_table(ids, GT_BOX, flat, offsets, bx, by, bx + w, by + h)
+
+
 _KINDS = {"points": synth_points, "polygons": synth_polygons,
-          "linestrings": synth_linestrings}
+          "linestrings": synth_linestrings, "boxes": synth_boxes}
 
 
 def ray_layer(kind: str, n: int, seed: int, bounds=TIGER_US_BOUNDS,

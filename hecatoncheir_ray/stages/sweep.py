@@ -301,6 +301,94 @@ def _edge_cross_batch(geo, gri, gsi, eps=_ON_EPS):
                     np.where(touch_pair, 1, 0)).astype(np.int8)
 
 
+def _vertex_seg_leq_batch(geo, gri, gsi, d, out=None):
+    """Per pair: does ANY vertex of one side come within d of a segment of
+    the other (inclusive)?  Marks ``out`` in-place (or a new array).
+
+    With intersection tested separately, this decides dist(A,B) <= d for
+    disjoint geometries: two disjoint segment sets attain their minimum
+    distance at a vertex of one of them.  GT_POINT rows contribute one
+    degenerate (v,v) segment (the nvp=1 wrap), so point-point pairs reduce
+    to plain point distance.  Vertices/edges are pruned to the other
+    side's d-dilated MBR before the chunked cross product.
+    """
+    ids, gtypes, offs, vals, minx, miny, maxx, maxy = geo
+    P = len(gri)
+    hit = out if out is not None else np.zeros(P, dtype=bool)
+    if P == 0:
+        return hit
+    d2 = d * d
+
+    def one_dir(vr, er):
+        nvv = ((offs[vr + 1] - offs[vr]) // 2).astype(np.int64)
+        repv = np.repeat(np.arange(P, dtype=np.int64), nvv)
+        locv = np.arange(int(nvv.sum()), dtype=np.int64) \
+            - np.repeat(_ragged_starts(nvv), nvv)
+        pos = offs[vr].astype(np.int64)[repv] + 2 * locv
+        px, py = vals[pos], vals[pos + 1]
+        keepv = ((px >= minx[er][repv] - d) & (px <= maxx[er][repv] + d)
+                 & (py >= miny[er][repv] - d) & (py <= maxy[er][repv] + d))
+        repv, px, py = repv[keepv], px[keepv], py[keepv]
+
+        nvp = ((offs[er + 1] - offs[er]) // 2).astype(np.int64)
+        ne = np.where(gtypes[er] == GT_POINT, 1,
+                      nvp - 1 + (gtypes[er] == GT_POLYGON))
+        repe = np.repeat(np.arange(P, dtype=np.int64), ne)
+        loce = np.arange(int(ne.sum()), dtype=np.int64) \
+            - np.repeat(_ragged_starts(ne), ne)
+        base = offs[er].astype(np.int64)[repe] + 2 * loce
+        ax, ay = vals[base], vals[base + 1]
+        nxt = (loce + 1) % np.maximum(nvp[repe], 1)
+        base2 = offs[er].astype(np.int64)[repe] + 2 * nxt
+        bx, by = vals[base2], vals[base2 + 1]
+        keepe = ((np.minimum(ax, bx) <= maxx[vr][repe] + d)
+                 & (np.maximum(ax, bx) >= minx[vr][repe] - d)
+                 & (np.minimum(ay, by) <= maxy[vr][repe] + d)
+                 & (np.maximum(ay, by) >= miny[vr][repe] - d))
+        repe = repe[keepe]
+        ax, ay, bx, by = ax[keepe], ay[keepe], bx[keepe], by[keepe]
+
+        cv = np.bincount(repv, minlength=P)
+        ce = np.bincount(repe, minlength=P)
+        sv = _ragged_starts(cv)
+        se = _ragged_starts(ce)
+        combos = cv * ce
+        cumc = np.concatenate([[0], np.cumsum(combos)])
+        chunk = 1 << 22
+        lo = 0
+        while lo < P:
+            hi = int(np.searchsorted(cumc, cumc[lo] + chunk))
+            hi = min(max(hi, lo + 1), P)
+            cp = combos[lo:hi]
+            T = int(cp.sum())
+            if T == 0:
+                lo = hi
+                continue
+            pr = np.repeat(np.arange(lo, hi, dtype=np.int64), cp)
+            local = np.arange(T, dtype=np.int64) \
+                - np.repeat(_ragged_starts(cp), cp)
+            ces = ce[pr]
+            iv = sv[pr] + local // ces
+            ie = se[pr] + local % ces
+            ex = bx[ie] - ax[ie]
+            ey = by[ie] - ay[ie]
+            wx = px[iv] - ax[ie]
+            wy = py[iv] - ay[ie]
+            len2 = ex * ex + ey * ey
+            t = np.clip((wx * ex + wy * ey)
+                        / np.where(len2 > 0, len2, 1.0), 0.0, 1.0)
+            dx = wx - t * ex
+            dy = wy - t * ey
+            ok = (dx * dx + dy * dy) <= d2
+            if ok.any():
+                hit[np.unique(pr[ok])] = True
+            lo = hi
+
+    one_dir(gri, gsi)
+    one_dir(gsi, gri)
+    return hit
+
+
 def _edges_of(geo, row, cache):
     """(e,2,2) edge array + per-edge bbox for one ring, memoized per kernel
     call (rows recur across many candidate pairs)."""
@@ -403,6 +491,24 @@ def _april_of(april, i):
     return av[ao[i]:ao[i + 1]], fv[fo[i]:fo[i + 1]]
 
 
+def _april_intersects_decision(april, r_rows, s_rows):
+    """Vectorized APRIL filter for intersects-style pairs (J5,
+    join.cpp:9-126 semantics, batched): -> (hit, neg) bool arrays.
+    hit: interiors provably overlap (A_r x F_s or F_r x A_s intersect).
+    neg: A-lists disjoint (valid only when both lists are non-empty; the
+    empty list is the out-of-dataspace sentinel -> inconclusive)."""
+    from ..april import intervals_intersect_pairs
+    ao, av, fo, fv = april
+    ao = np.asarray(ao, dtype=np.int64)
+    fo = np.asarray(fo, dtype=np.int64)
+    valid = (((ao[r_rows + 1] - ao[r_rows]) > 0)
+             & ((ao[s_rows + 1] - ao[s_rows]) > 0))
+    inter_aa = intervals_intersect_pairs(av, ao, r_rows, av, ao, s_rows)
+    hit = (intervals_intersect_pairs(av, ao, r_rows, fv, fo, s_rows)
+           | intervals_intersect_pairs(fv, fo, r_rows, av, ao, s_rows))
+    return hit, valid & ~inter_aa
+
+
 def refine_mask(cfg: EngineConfig, geo, gri, gsi, predicate: str,
                 april=None) -> np.ndarray:
     """Vectorized-dispatch refinement: keep-mask over candidate pairs."""
@@ -439,13 +545,25 @@ def refine_mask(cfg: EngineConfig, geo, gri, gsi, predicate: str,
     poly2 = (gtr == GT_POLYGON) & (gts == GT_POLYGON) & ~done
     if poly2.any() and predicate in ("intersects", "disjoint"):
         sel = np.nonzero(poly2)[0]
-        r_in, r_on = _verts_vs_polys(geo, gri[sel], gsi[sel])
-        s_in, s_on = _verts_vs_polys(geo, gsi[sel], gri[sel])
-        hit = r_in | r_on | s_in | s_on
-        und = np.nonzero(~hit)[0]
-        if len(und):
-            kinds = _edge_cross_batch(geo, gri[sel[und]], gsi[sel[und]])
-            hit[und] = kinds > 0
+        hit = np.zeros(len(sel), dtype=bool)
+        neg = np.zeros(len(sel), dtype=bool)
+        if april is not None:
+            # J5 intermediate filter, vectorized: conclusive pairs skip
+            # the geometric refinement entirely (the reference's thesis,
+            # src/APRIL/join.cpp)
+            hit, neg = _april_intersects_decision(april, gri[sel],
+                                                  gsi[sel])
+        und0 = np.nonzero(~hit & ~neg)[0]
+        if len(und0):
+            sub_r, sub_s = gri[sel[und0]], gsi[sel[und0]]
+            r_in, r_on = _verts_vs_polys(geo, sub_r, sub_s)
+            s_in, s_on = _verts_vs_polys(geo, sub_s, sub_r)
+            h2 = r_in | r_on | s_in | s_on
+            und = np.nonzero(~h2)[0]
+            if len(und):
+                kinds = _edge_cross_batch(geo, sub_r[und], sub_s[und])
+                h2[und] = kinds > 0
+            hit[und0] = h2
         keep[sel] = hit if predicate == "intersects" else ~hit
         done |= poly2
 
@@ -461,17 +579,22 @@ def refine_mask(cfg: EngineConfig, geo, gri, gsi, predicate: str,
     if line_mix.any() and predicate in ("intersects", "disjoint"):
         sel = np.nonzero(line_mix)[0]
         hit = np.zeros(len(sel), dtype=bool)
-        rpoly = gtr[sel] == GT_POLYGON
+        neg = np.zeros(len(sel), dtype=bool)
+        if april is not None:
+            hit, neg = _april_intersects_decision(april, gri[sel],
+                                                  gsi[sel])
+        open_ = np.nonzero(~hit & ~neg)[0]
+        rpoly = gtr[sel[open_]] == GT_POLYGON
         if rpoly.any():               # r polygon, s line: s verts vs r
-            m = np.nonzero(rpoly)[0]
+            m = open_[rpoly]
             s_in, s_on = _verts_vs_polys(geo, gsi[sel[m]], gri[sel[m]])
             hit[m] |= s_in | s_on
-        spoly = gts[sel] == GT_POLYGON
+        spoly = gts[sel[open_]] == GT_POLYGON
         if spoly.any():
-            m = np.nonzero(spoly)[0]
+            m = open_[spoly]
             r_in, r_on = _verts_vs_polys(geo, gri[sel[m]], gsi[sel[m]])
             hit[m] |= r_in | r_on
-        und = np.nonzero(~hit)[0]
+        und = open_[~hit[open_]]
         if len(und):
             kinds = _edge_cross_batch(geo, gri[sel[und]], gsi[sel[und]])
             hit[und] = kinds > 0

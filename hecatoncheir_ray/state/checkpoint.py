@@ -121,6 +121,12 @@ def resumable_spatial_join(r_factory, s_factory, predicate: str, cfg,
 
     lineage = lineage or {}
     store = CheckpointStore(out_dir)
+    # detect hot cells ONCE for the whole job, not once per slice
+    hot = None
+    if cfg.auto_salt and cfg.dataspace is not None:
+        from ..pipelines.spatial_join import detect_hot_cells
+        hot = detect_hot_cells(r_factory(), s_factory(), cfg,
+                               cfg.make_grid())
     fp = _fingerprint(predicate, cfg, num_slices, lineage)
     metrics = get_metrics_actor()
     run, skipped, total_rows = 0, 0, 0
@@ -135,7 +141,7 @@ def resumable_spatial_join(r_factory, s_factory, predicate: str, cfg,
         scope = f"{out_dir}:slice{k}"
         metrics.reset.remote(scope)
         pairs = spatial_join(r_factory(), s_factory(), predicate, cfg,
-                             slice_id=(k, num_slices),
+                             hot_cells=hot, slice_id=(k, num_slices),
                              metrics_scope=scope)
         slice_dir = os.path.join(out_dir, f"slice={k}")
         # A crashed attempt leaves partial parquet files behind and

@@ -176,3 +176,86 @@ def test_april_persist_roundtrip(ray_session, tmp_path):
                  spatial_join(rd.from_arrow(tr), rd.from_arrow(ts),
                               "covered_by", cfg).take_all())
     assert got == exp
+
+
+@pytest.mark.parametrize("order", [6, 10])
+def test_rasterize_batch_equivalence(order):
+    """rasterize_batch == rasterize_geometry row by row, on a mixed layer
+    of polygons/points/lines/boxes incl. out-of-dataspace sentinels."""
+    import pyarrow as pa
+    from hecatoncheir_ray.april import rasterize_batch
+    from hecatoncheir_ray.stages.assign import geoms_from_table
+
+    parts = [table_layer("polygons", 40, seed=31, bounds=BOUNDS,
+                         min_edge=1.0, max_edge=8.0, min_v=4, max_v=24),
+             table_layer("points", 20, seed=32, bounds=BOUNDS),
+             table_layer("linestrings", 20, seed=33, bounds=BOUNDS,
+                         min_v=2, max_v=6, step=3.0),
+             table_layer("boxes", 20, seed=34, bounds=BOUNDS,
+                         min_edge=1.0, max_edge=6.0),
+             # out-of-dataspace rows -> sentinel empty lists
+             table_layer("polygons", 5, seed=35,
+                         bounds=(-20.0, -20.0, -1.0, -1.0),
+                         min_edge=1.0, max_edge=4.0, min_v=4, max_v=8)]
+    t = pa.concat_tables(parts)
+    ids, gtypes, offs, vals, *_ = geoms_from_table(t)
+    a_vals, a_offs, f_vals, f_offs = rasterize_batch(gtypes, offs, vals,
+                                                     BOUNDS, order)
+    n_sentinel = 0
+    for i in range(len(ids)):
+        a, f = rasterize_geometry(int(gtypes[i]), vals[offs[i]:offs[i + 1]],
+                                  BOUNDS, order)
+        ba = a_vals[a_offs[i]:a_offs[i + 1]]
+        bf = f_vals[f_offs[i]:f_offs[i + 1]]
+        np.testing.assert_array_equal(ba, a, err_msg=f"ALL row {i}")
+        np.testing.assert_array_equal(bf, f, err_msg=f"FULL row {i}")
+        n_sentinel += len(a) == 0
+    # at least the 5 planted out-of-dataspace rows (random-walk lines may
+    # legitimately escape the bounds too -- both paths agree regardless)
+    assert n_sentinel >= 5
+
+
+def test_interval_pair_ops_vs_scalar():
+    """Vectorized pair interval joins == scalar loops, random lists."""
+    from hecatoncheir_ray.april import (intervals_contained_pairs,
+                                        intervals_intersect_pairs)
+    rng = np.random.default_rng(3)
+    lists = []
+    for _ in range(60):
+        k = rng.integers(0, 6)
+        edges = np.sort(rng.choice(200, size=2 * k, replace=False)) \
+            .astype(np.uint64)
+        lists.append(edges)
+    offs = np.zeros(len(lists) + 1, dtype=np.int64)
+    np.cumsum([len(x) for x in lists], out=offs[1:])
+    vals = (np.concatenate(lists) if offs[-1] else
+            np.zeros(0, dtype=np.uint64))
+    a_rows = rng.integers(0, 60, size=300)
+    b_rows = rng.integers(0, 60, size=300)
+    got_i = intervals_intersect_pairs(vals, offs, a_rows, vals, offs,
+                                      b_rows)
+    got_c = intervals_contained_pairs(vals, offs, a_rows, vals, offs,
+                                      b_rows)
+    exp_i = np.array([intervals_intersect(lists[a], lists[b])
+                      for a, b in zip(a_rows, b_rows)])
+    exp_c = np.array([intervals_contained(lists[a], lists[b])
+                      for a, b in zip(a_rows, b_rows)])
+    np.testing.assert_array_equal(got_i, exp_i)
+    np.testing.assert_array_equal(got_c, exp_c)
+
+
+def test_order16_corner_no_overflow():
+    """ADVICE r1: at order 16 an interval ending at the max Hilbert cell
+    needs end = 2^32, which wrapped to 0 in uint32 storage and made a
+    corner-hugging box TRUE_NEGATIVE against itself."""
+    from hecatoncheir_ray.geometry.core import GT_BOX as _B
+    bounds = (0.0, 0.0, 1.0, 1.0)
+    box = np.array([0.9999, 0.0, 1.0, 0.0001])   # (maxx, miny) corner
+    a, f = rasterize_geometry(_B, box, bounds, 16)
+    assert len(a) > 0
+    assert a.dtype == np.uint64
+    s, e = a[0::2], a[1::2]
+    assert (e > s).all()                          # no wrapped interval
+    assert int(a.max()) <= 1 << 32
+    assert april_filter_predicate("intersects", a, f, a, f) \
+        != TRUE_NEGATIVE
