@@ -216,10 +216,11 @@ def run_april() -> dict:
 
     b = (TIGER_US_BOUNDS[0] - 0.5, TIGER_US_BOUNDS[1] - 0.5,
          TIGER_US_BOUNDS[2] + 0.5, TIGER_US_BOUNDS[3] + 0.5)
-    N, ORDER = 20000, 12
-    # many-vertex polygons: exact refinement cost scales with vertex count
-    # while APRIL interval ops do not -- the regime the filter exists for
-    KW = dict(min_edge=0.1, max_edge=0.6, min_v=256, max_v=768)
+    N, ORDER = 20000, 10
+    # raster resolution matched to geometry extent: ~5 cells across a
+    # polygon keeps interval lists in the tens (decisive yet cheap to ship
+    # through the shuffle); higher orders make list volume dominate
+    KW = dict(min_edge=0.05, max_edge=0.5, min_v=48, max_v=160)
     ray_layer("points", 10000, seed=9).count()
     import json as _json
     import os as _os

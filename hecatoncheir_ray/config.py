@@ -83,6 +83,32 @@ class EngineConfig:
 
     grid: GridSpec | None = field(default=None)
 
+    def with_auto_ppd(self, n_rows: int, workers: int | None = None,
+                      target_per_cell: int = 64) -> "EngineConfig":
+        """Return a copy with ppd sized to the workload (reference
+        adjustPartitions analog, src/config/parse.cpp:165-178).
+
+        ppd ~ sqrt(n_rows / target_per_cell) rounded to a power of two
+        (cells average ~target_per_cell rows, bounding the per-cell
+        all-pairs work), clamped to [16, 4096]; then the reference's
+        load-balance nudge: grow ppd until ppd %% workers == 1 so
+        round-robin-ish cell-to-worker assignment has no systematic
+        remainder imbalance (the reference applies the same rule to its
+        distribution grid).
+        """
+        import dataclasses
+        import math
+        raw = max(int(math.sqrt(max(n_rows, 1) / target_per_cell)), 1)
+        ppd = 1 << max(raw.bit_length() - 1, 0)
+        if raw - ppd > (2 * ppd) - raw:
+            ppd <<= 1
+        ppd = min(max(ppd, 16), 4096)
+        if workers and workers > 1:
+            mod = ppd % workers
+            if mod != 1:
+                ppd += mod + 1          # parse.cpp:170-172
+        return dataclasses.replace(self, ppd=ppd)
+
     def make_grid(self, bounds=None) -> GridSpec:
         b = self.dataspace or bounds
         if b is None:

@@ -199,27 +199,26 @@ def topk_cosine_lsh(vecs: Dataset, queries: np.ndarray, k: int = 10,
     H = rng.standard_normal((dim, planes))
     bands = 4
     r = planes // bands
-    Qbits = (queries @ H) > 0
-    qkeys = set()
-    for qi in range(len(queries)):
-        for b in range(bands):
-            qkeys.add((b, np.packbits(Qbits[qi, b * r:(b + 1) * r])
-                       .tobytes()))
-    keys_ref = ray.put(qkeys)
+    # band signatures as integers (r <= 64 bits) -> vectorized membership
+    w = (np.uint64(1) << np.arange(r, dtype=np.uint64))
+
+    def band_codes(bits):
+        return (bits.reshape(len(bits), bands, r).astype(np.uint64)
+                * w[None, None, :]).sum(axis=2)
+
+    qcodes = band_codes((queries @ H) > 0)          # (Q, bands)
+    qsets = [np.unique(qcodes[:, b]) for b in range(bands)]
+    sets_ref = ray.put(qsets)
     h_ref = ray.put(H)
 
     def prefilter(df: pd.DataFrame) -> pd.DataFrame:
         Hm = ray.get(h_ref)
-        keys = ray.get(keys_ref)
+        qs = ray.get(sets_ref)
         emb = _emb_matrix(df)
-        bits = (emb @ Hm) > 0
+        codes = band_codes((emb @ Hm) > 0)
         keep = np.zeros(len(df), dtype=bool)
-        for i in range(len(df)):
-            for b in range(bands):
-                if (b, np.packbits(bits[i, b * r:(b + 1) * r])
-                        .tobytes()) in keys:
-                    keep[i] = True
-                    break
+        for b in range(bands):                      # 4 vectorized passes
+            keep |= np.isin(codes[:, b], qs[b])
         return df[keep]
 
     cands = vecs.map_batches(prefilter, batch_format="pandas")

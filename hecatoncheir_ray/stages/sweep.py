@@ -657,17 +657,29 @@ def classify_relations(cfg: EngineConfig, geo, gri, gsi,
 
     if april is not None:
         # APRIL topology filter (J6, src/APRIL/filter.cpp:18-223): sound
-        # conclusive relations skip geometric classification
+        # conclusive relations skip geometric classification.  The
+        # dominant MBR_INTERSECT dispatch (DISJOINT / interiors-overlap ->
+        # INTERSECT) is fully vectorized via the pairwise interval joins;
+        # the rarer containment MBR cases keep the per-pair shortcuts.
         from ..april import april_topology
-        aa_any = np.nonzero(np.isin(gtr, _AREAL) & np.isin(gts, _AREAL))[0]
-        for k in aa_any.tolist():
-            i, j = int(gri[k]), int(gsi[k])
-            a_r, f_r = _april_of(april, i)
-            a_s, f_s = _april_of(april, j)
-            res = april_topology(a_r, f_r, a_s, f_s, int(mbr_cases[k]))
-            if res is not None:
-                rel[k] = res
-                done[k] = True
+        aa_sel = np.nonzero(np.isin(gtr, _AREAL) & np.isin(gts, _AREAL))[0]
+        if len(aa_sel):
+            hit, neg = _april_intersects_decision(april, gri[aa_sel],
+                                                  gsi[aa_sel])
+            rel[aa_sel[neg]] = TR_DISJOINT
+            done[aa_sel[neg]] = True
+            m_int = mbr_cases[aa_sel] == MBR_INTERSECT
+            ih = m_int & hit & ~neg
+            rel[aa_sel[ih]] = TR_INTERSECT
+            done[aa_sel[ih]] = True
+            for k in aa_sel[~neg & ~m_int].tolist():
+                i, j = int(gri[k]), int(gsi[k])
+                a_r, f_r = _april_of(april, i)
+                a_s, f_s = _april_of(april, j)
+                res = april_topology(a_r, f_r, a_s, f_s, int(mbr_cases[k]))
+                if res is not None:
+                    rel[k] = res
+                    done[k] = True
 
     bb = (gtr == GT_BOX) & (gts == GT_BOX)
     if bb.any():

@@ -72,3 +72,20 @@ def test_hilbert_roundtrip():
     # adjacency: consecutive d differ by one step
     dist = np.abs(np.diff(x)) + np.abs(np.diff(y))
     assert (dist == 1).all()
+
+
+def test_auto_ppd_sizing():
+    """adjustPartitions analog (reference parse.cpp:165-178)."""
+    from hecatoncheir_ray.config import EngineConfig
+    cfg = EngineConfig(dataspace=(0, 0, 1, 1))
+    assert cfg.with_auto_ppd(100).ppd == 16            # clamp floor
+    assert cfg.with_auto_ppd(64 * 128 * 128).ppd == 128
+    assert cfg.with_auto_ppd(10 ** 12).ppd == 4096     # clamp ceiling
+    # reference nudge: ppd % workers == 1 after adjustment (or untouched
+    # when already == 1)
+    p = cfg.with_auto_ppd(64 * 128 * 128, workers=10).ppd
+    assert p == 128 + (128 % 10) + 1                   # 137
+    p2 = cfg.with_auto_ppd(64 * 128 * 128, workers=127).ppd
+    assert p2 == 128                                   # 128 % 127 == 1
+    # result joins still correct at an auto ppd (smoke via grid build)
+    assert cfg.with_auto_ppd(5000).make_grid().ppd >= 16
