@@ -56,7 +56,6 @@ def run_bench() -> dict:
     from ray.data import DataContext
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
-    _tune_context(ctx)
 
     from hecatoncheir_ray import EngineConfig, spatial_join
     from hecatoncheir_ray.pipelines.distance_join import distance_join
@@ -174,7 +173,7 @@ def run_heavy() -> dict:
     for name, make in [("poly_poly_join", poly_poly),
                        ("point_poly_join", point_poly)]:
         best, rows = None, 0
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             rows = make().count()
             dt = time.time() - t0

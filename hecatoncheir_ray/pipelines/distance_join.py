@@ -93,11 +93,11 @@ def distance_join(r: Dataset, s: Dataset, d: float,
     r2 = r.select_columns(GEOM_COLS).map_batches(
         make_assign_fn(grid, 0, hot_cells, cfg.salt_factor, eps=d,
                        shuffle_parts=cfg.shuffle_parts),
-        batch_format="pyarrow")
+        batch_format="pyarrow", batch_size=cfg.assign_batch_size)
     s2 = s.select_columns(GEOM_COLS).map_batches(
         make_assign_fn(grid, 1, hot_cells, cfg.salt_factor,
                        shuffle_parts=cfg.shuffle_parts),
-        batch_format="pyarrow")
+        batch_format="pyarrow", batch_size=cfg.assign_batch_size)
     both = r2.union(s2)
     kernel = make_distance_kernel(cfg, grid, d, hot_cells)
     return both.groupby("part").map_groups(kernel, batch_format="pyarrow")

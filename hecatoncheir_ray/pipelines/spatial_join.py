@@ -127,16 +127,21 @@ def spatial_join(r: Dataset, s: Dataset, predicate: str = "intersects",
         else:
             s2 = s.select_columns(GEOM_COLS + ["april_all", "april_full"])
         keep_cols += ["april_all", "april_full"]
+    # assign is cheap: bundle small input blocks up to assign_batch_size
+    # rows per task (fewer tiny tasks).  NEVER when the APRIL generator is
+    # fused in the same chain -- bundling would cap the expensive stage to
+    # one task per 32k rows (measured: one 24s task for a whole layer).
+    bs = None if cfg.intermediate_filter else cfg.assign_batch_size
     r2 = r2.map_batches(
         make_assign_fn(grid, 0, hot_cells, cfg.salt_factor,
                        keep_cols=keep_cols,
                        shuffle_parts=cfg.shuffle_parts),
-        batch_format="pyarrow")
+        batch_format="pyarrow", batch_size=bs)
     s2 = s2.map_batches(
         make_assign_fn(grid, 1, hot_cells, cfg.salt_factor,
                        keep_cols=keep_cols,
                        shuffle_parts=cfg.shuffle_parts),
-        batch_format="pyarrow")
+        batch_format="pyarrow", batch_size=bs)
     both = r2.union(s2)
     if slice_id is not None:
         k, n = slice_id
