@@ -312,6 +312,25 @@ def _q_doc_bpe_tokens(sf_dir: str):
     return ray_bpe_token_counts(_docs(sf_dir))
 
 
+def _q_event_hopping_agg(sf_dir: str):
+    import ray.data as rd
+    from hecatoncheir_ray.functions.windows import hopping_window_agg
+    return hopping_window_agg(
+        rd.read_parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_doc_sample(sf_dir: str):
+    from hecatoncheir_ray.functions.text import ray_doc_sample
+    return ray_doc_sample(_docs(sf_dir))
+
+
+def _q_doc_lang_hist(sf_dir: str):
+    from ray.data.aggregate import Count
+    from hecatoncheir_ray.functions.text import ray_lang_id
+    return ray_lang_id(_docs(sf_dir)).groupby("lang_guess") \
+        .aggregate(Count(alias_name="n"))
+
+
 def _q_event_window_agg(sf_dir: str):
     import ray.data as rd
     from hecatoncheir_ray.functions.windows import tumbling_window_agg
@@ -359,6 +378,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_cosine": _q_ann_topk_cosine,
         "doc_bpe_tokens": _q_doc_bpe_tokens,
         "event_window_agg": _q_event_window_agg,
+        "event_hopping_agg": _q_event_hopping_agg,
+        "doc_sample": _q_doc_sample,
+        "doc_lang_hist": _q_doc_lang_hist,
     }
 
 
@@ -469,6 +491,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_ip": _simsearch.topk_ip_quantized_sql([0, 1, 2], k=10),
         "doc_bpe_tokens": _text.BPE_TOKENS_SQL,
         "event_window_agg": _windows.tumbling_window_agg_sql(),
+        "event_hopping_agg": _windows.hopping_window_agg_sql(),
+        "doc_sample": _text.doc_sample_sql(),
+        "doc_lang_hist": ("SELECT lang_guess, COUNT(*) AS n FROM ("
+                          + _text.lang_id_sql() + ") GROUP BY 1"),
     }
 
 

@@ -204,3 +204,33 @@ ray_text_stats = _pandas_stage(text_stats)
 ray_lang_id = _pandas_stage(lang_id)
 ray_fingerprints = _pandas_stage(fingerprints)
 ray_bpe_token_counts = _pandas_stage(bpe_token_counts)
+
+
+def ray_doc_sample(docs, hex_lt: str = "29"):
+    """Deterministic content-hash sampling: keep rows whose md5(text) hex
+    prefix is lexicographically below ``hex_lt`` (p = int(hex_lt,16)/256
+    for a 2-char prefix).  Content-keyed, so the sample is stable across
+    reshards/reruns — the property a training-data pipeline needs from a
+    sampler (row-position sampling changes under repartition).
+
+    SQL twin: WHERE substr(md5(text), 1, len) < hex_lt."""
+    import pandas as pd
+
+    k = len(hex_lt)
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        import hashlib as _h
+        pref = df["text"].fillna("").map(
+            lambda s: _h.md5(s.encode()).hexdigest()[:k])
+        keep = pref < hex_lt
+        return pd.DataFrame({"doc_id": df["doc_id"][keep].astype("int64"),
+                             "h_prefix": pref[keep]})
+
+    return docs.select_columns(["doc_id", "text"]) \
+        .map_batches(pick, batch_format="pandas")
+
+
+def doc_sample_sql(hex_lt: str = "29") -> str:
+    k = len(hex_lt)
+    return (f"SELECT doc_id, substr(md5(text), 1, {k}) AS h_prefix "
+            f"FROM documents WHERE substr(md5(text), 1, {k}) < '{hex_lt}'")

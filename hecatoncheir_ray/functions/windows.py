@@ -50,6 +50,67 @@ def tumbling_window_agg(events: Dataset,
         .reset_index(drop=True)
 
 
+def hopping_window_agg(events: Dataset, window_us: int = HOUR_US,
+                       hop_us: int = HOUR_US // 4) -> pd.DataFrame:
+    """Hopping (sliding) windows: window w covers [w*hop, w*hop + window).
+
+    Each event explodes into the window/hop windows containing it inside
+    the per-batch partial (np.repeat — no extra dataset pass), then the
+    tiny (windows x types) partials merge on the driver.  Integer
+    arithmetic matches the SQL twin exactly.
+    """
+    import pyarrow as pa
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").view("int64")
+        w_hi = ts // hop_us
+        w_lo = np.maximum((ts - window_us) // hop_us + 1, 0)
+        reps = (w_hi - w_lo + 1).astype(np.int64)
+        rows = np.repeat(np.arange(len(ts)), reps)
+        offs = np.zeros(len(ts), dtype=np.int64)
+        np.cumsum(reps[:-1], out=offs[1:])
+        win = w_lo[rows] + (np.arange(len(rows)) - offs[rows])
+        typ = np.asarray(t["event_type"].to_pylist(), dtype=object)[rows]
+        vm = np.floor(t["value"].to_numpy(zero_copy_only=False) * 1000
+                      + 0.5).astype(np.int64)[rows]
+        g = pd.DataFrame({"window_id": win, "event_type": typ, "v": vm}) \
+            .groupby(["window_id", "event_type"], as_index=False) \
+            .agg(n=("v", "size"), value_milli=("v", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = events.select_columns(["ts", "event_type", "value"]) \
+        .map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby(["window_id", "event_type"], as_index=False).agg(
+        n=("n", "sum"), value_milli=("value_milli", "sum"))
+    for c in ("window_id", "n", "value_milli"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["window_id", "event_type"]) \
+        .reset_index(drop=True)
+
+
+def hopping_window_agg_sql(window_us: int = HOUR_US,
+                           hop_us: int = HOUR_US // 4) -> str:
+    """DuckDB twin: explode via unnest(generate_series(w_lo, w_hi))."""
+    return f"""
+        WITH e AS (
+          SELECT CAST(epoch_us(ts) AS BIGINT) AS tus, event_type,
+                 CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS vm
+          FROM events
+        ),
+        x AS (
+          SELECT unnest(generate_series(
+                     GREATEST((tus - {window_us}) // {hop_us} + 1, 0),
+                     tus // {hop_us})) AS window_id,
+                 event_type, vm
+          FROM e
+        )
+        SELECT window_id, event_type, COUNT(*) AS n,
+               CAST(SUM(vm) AS BIGINT) AS value_milli
+        FROM x GROUP BY 1, 2
+    """
+
+
 def tumbling_window_agg_sql(window_us: int = HOUR_US) -> str:
     return f"""
         SELECT CAST(FLOOR(epoch_us(ts) / {window_us}) AS BIGINT)

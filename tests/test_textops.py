@@ -229,3 +229,33 @@ def test_ngram_jaccard_short_docs(ray_session):
     # docs with fewer than k=3 words have no grams -> no pairs from them
     got = ngram_jaccard_pairs(rd.from_pandas(df)).to_pandas()
     assert len(got) == 0
+
+
+def test_hopping_window_vs_duckdb(ray_session):
+    import duckdb
+    from hecatoncheir_ray.functions.windows import (hopping_window_agg,
+                                                    hopping_window_agg_sql)
+    ev = rd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    got = hopping_window_agg(ev)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                "read_parquet('/root/testdata/sf0.001/events.parquet')")
+    exp = con.execute(hopping_window_agg_sql()).df() \
+        .sort_values(["window_id", "event_type"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # every event lands in window/hop = 4 windows
+    assert got["n"].sum() == 4 * ev.count()
+
+
+def test_doc_sample_vs_duckdb(ray_session):
+    import duckdb
+    from hecatoncheir_ray.functions.text import doc_sample_sql, ray_doc_sample
+    got = ray_doc_sample(_docs_ds()).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                "read_parquet('/root/testdata/sf0.001/documents.parquet')")
+    exp = con.execute(doc_sample_sql()).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert 0 < len(got) < _docs_ds().count()
