@@ -169,8 +169,13 @@ def ngram_jaccard_pairs(docs: Dataset, threshold_num: int = 3,
             gs = _word_ngrams(text, k)
             dids.extend([int(did)] * len(gs))
             grams.extend(gs)
-        return pd.DataFrame({"doc_id": np.array(dids, dtype=np.int64),
-                             "gram": grams})
+        out = pd.DataFrame({"doc_id": np.array(dids, dtype=np.int64),
+                            "gram": grams})
+        # coarse shuffle key: one map_groups call per hash partition (256)
+        # instead of one per distinct gram (millions at scale)
+        out["gpart"] = pd.util.hash_array(
+            out["gram"].to_numpy(dtype=object)).astype(np.int64) % 256
+        return out
 
     def size_rows(df: pd.DataFrame) -> pd.DataFrame:
         n = [len(_word_ngrams(t, k)) for t in df["text"].fillna("")]
@@ -181,13 +186,32 @@ def ngram_jaccard_pairs(docs: Dataset, threshold_num: int = 3,
     sizes_df = txt.map_batches(size_rows, batch_format="pandas").to_pandas()
     sizes_ref = ray.put(dict(zip(sizes_df["doc_id"], sizes_df["n"])))
 
-    def pairs_in_gram(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].to_numpy().astype(np.int64))
+    def pairs_in_part(g: pd.DataFrame) -> pd.DataFrame:
+        """All (a<b) doc pairs per gram, vectorized across this hash
+        partition's grams (segments grouped by size -> one triu gather per
+        distinct segment size)."""
+        g = g.sort_values(["gram", "doc_id"])
+        ids = g["doc_id"].to_numpy().astype(np.int64)
+        grams = g["gram"].to_numpy()
         if len(ids) < 2:
-            return pd.DataFrame({"doc_id_a": np.array([], dtype=np.int64),
-                                 "doc_id_b": np.array([], dtype=np.int64)})
-        iu, ju = np.triu_indices(len(ids), 1)
-        return pd.DataFrame({"doc_id_a": ids[iu], "doc_id_b": ids[ju]})
+            return _EMPTY_PAIRS.copy()
+        new = np.concatenate([[True], grams[1:] != grams[:-1]])
+        seg = np.cumsum(new) - 1
+        cnt = np.bincount(seg)
+        starts = np.zeros(len(cnt), dtype=np.int64)
+        np.cumsum(cnt[:-1], out=starts[1:])
+        out_a, out_b = [], []
+        for n in np.unique(cnt):
+            if n < 2:
+                continue
+            base = starts[cnt == n]
+            iu, ju = np.triu_indices(int(n), 1)
+            out_a.append(ids[base[:, None] + iu[None, :]].ravel())
+            out_b.append(ids[base[:, None] + ju[None, :]].ravel())
+        if not out_a:
+            return _EMPTY_PAIRS.copy()
+        return pd.DataFrame({"doc_id_a": np.concatenate(out_a),
+                             "doc_id_b": np.concatenate(out_b)})
 
     def verify_batch(df: pd.DataFrame) -> pd.DataFrame:
         sizes = ray.get(sizes_ref)
@@ -201,7 +225,7 @@ def ngram_jaccard_pairs(docs: Dataset, threshold_num: int = 3,
 
     from ray.data.aggregate import Count
     return txt.map_batches(gram_rows, batch_format="pandas") \
-        .groupby("gram").map_groups(pairs_in_gram, batch_format="pandas") \
+        .groupby("gpart").map_groups(pairs_in_part, batch_format="pandas") \
         .groupby(["doc_id_a", "doc_id_b"]) \
         .aggregate(Count(alias_name="inter")) \
         .map_batches(verify_batch, batch_format="pandas")
