@@ -324,6 +324,29 @@ def _q_doc_sample(sf_dir: str):
     return ray_doc_sample(_docs(sf_dir))
 
 
+def _q_ann_topk_ivf_store(sf_dir: str):
+    """ANN over the IVF-partitioned embedding store (reads only probed
+    list partitions; rows-only check — float cosine has no stable SQL
+    twin)."""
+    import os
+    import numpy as np
+    from hecatoncheir_ray.functions.simsearch import (topk_cosine_ivf_store,
+                                                      write_ivf_store)
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = f"/tmp/hec_ivf_{tag}"
+    if not os.path.exists(os.path.join(out, "_centroids.json")):
+        write_ivf_store(_vecs(sf_dir), out, nlist=16)
+    rows = _vecs(sf_dir).take(3)
+    Q = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                  for r in rows])
+    return topk_cosine_ivf_store(out, Q, k=10, nprobe=4)
+
+
+def _q_doc_top_tokens(sf_dir: str):
+    from hecatoncheir_ray.functions.text import ray_top_tokens
+    return ray_top_tokens(_docs(sf_dir), k=20)
+
+
 def _q_doc_lang_hist(sf_dir: str):
     from ray.data.aggregate import Count
     from hecatoncheir_ray.functions.text import ray_lang_id
@@ -381,6 +404,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_hopping_agg": _q_event_hopping_agg,
         "doc_sample": _q_doc_sample,
         "doc_lang_hist": _q_doc_lang_hist,
+        "doc_top_tokens": _q_doc_top_tokens,
+        "ann_topk_ivf_store": _q_ann_topk_ivf_store,
     }
 
 
@@ -495,6 +520,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_sample": _text.doc_sample_sql(),
         "doc_lang_hist": ("SELECT lang_guess, COUNT(*) AS n FROM ("
                           + _text.lang_id_sql() + ") GROUP BY 1"),
+        "doc_top_tokens": _text.top_tokens_sql(20),
     }
 
 

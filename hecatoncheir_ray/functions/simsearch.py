@@ -223,3 +223,85 @@ def topk_cosine_lsh(vecs: Dataset, queries: np.ndarray, k: int = 10,
 
     cands = vecs.map_batches(prefilter, batch_format="pandas")
     return topk_cosine_brute(cands, queries, k)
+
+
+def train_centroids(vecs: Dataset, nlist: int = 16,
+                    train_sample: int = 512, seed: int = 13) -> np.ndarray:
+    """Spherical k-means-lite centroids on a driver-side sample (the train
+    phase of IVF; tiny by construction — the sample, not the corpus)."""
+    rng = np.random.default_rng(seed)
+    sample = vecs.limit(train_sample).take_all()
+    X = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                  for r in sample])
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+    nlist = min(nlist, len(X))
+    C = X[rng.choice(len(X), nlist, replace=False)]
+    for _ in range(8):
+        assign = (X @ C.T).argmax(axis=1)
+        for j in range(nlist):
+            m = assign == j
+            if m.any():
+                v = X[m].sum(axis=0)
+                C[j] = v / max(np.linalg.norm(v), 1e-300)
+    return C
+
+
+def write_ivf_store(vecs: Dataset, out_dir: str, nlist: int = 16,
+                    train_sample: int = 512, seed: int = 13) -> str:
+    """IVF-partitioned embedding store: one parquet partition directory per
+    inverted list (nearest centroid), centroids in a sidecar.
+
+    The ANN scale path for 10^12 embeddings: queries read ONLY their
+    nprobe probed list directories — storage-level pruning, the embedding
+    analog of sources.store's cell-partitioned spatial layout."""
+    import json
+    import os
+    C = train_centroids(vecs, nlist, train_sample, seed)
+    c_ref = ray.put(C)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        Cm = ray.get(c_ref)
+        emb = _emb_matrix(df)
+        emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True),
+                               1e-300)
+        df = df.copy()
+        df["ivf_list"] = (emb @ Cm.T).argmax(axis=1).astype(np.int64)
+        return df
+
+    vecs.map_batches(tag, batch_format="pandas") \
+        .write_parquet(out_dir, partition_cols=["ivf_list"])
+    with open(os.path.join(out_dir, "_centroids.json"), "w") as f:
+        json.dump(C.tolist(), f)
+    return out_dir
+
+
+def ivf_probe_dirs(out_dir: str, queries: np.ndarray,
+                   nprobe: int) -> list[str]:
+    """Partition directories for the union of every query's nprobe closest
+    lists (only these are read)."""
+    import json
+    import os
+    with open(os.path.join(out_dir, "_centroids.json")) as f:
+        C = np.asarray(json.load(f))
+    Qn = queries / np.maximum(
+        np.linalg.norm(queries, axis=1, keepdims=True), 1e-300)
+    sims = Qn @ C.T
+    probes = set()
+    for qi in range(len(Qn)):
+        probes.update(np.argsort(-sims[qi])[:nprobe].tolist())
+    dirs = [os.path.join(out_dir, f"ivf_list={j}") for j in sorted(probes)]
+    return [d for d in dirs if os.path.isdir(d)]
+
+
+def topk_cosine_ivf_store(out_dir: str, queries: np.ndarray, k: int = 10,
+                          nprobe: int = 4) -> pd.DataFrame:
+    """ANN top-k over the IVF store: read only probed list partitions,
+    exact cosine rescore inside them.  nprobe == nlist -> exact brute
+    result (every partition read)."""
+    import os
+    import ray.data as rd
+    files = [os.path.join(d, f)
+             for d in ivf_probe_dirs(out_dir, queries, nprobe)
+             for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    ds = rd.read_parquet(files)
+    return topk_cosine_brute(ds, queries, k)

@@ -234,3 +234,40 @@ def doc_sample_sql(hex_lt: str = "29") -> str:
     k = len(hex_lt)
     return (f"SELECT doc_id, substr(md5(text), 1, {k}) AS h_prefix "
             f"FROM documents WHERE substr(md5(text), 1, {k}) < '{hex_lt}'")
+
+
+def ray_top_tokens(docs, k: int = 20):
+    """Top-k corpus tokens by count (whitespace split, single-space
+    semantics for SQL parity; empty tokens from runs of spaces excluded).
+
+    Scale shape: per-batch token-count partials (one small table per
+    batch) -> ONE groupby(token) sum -> sort + limit on the tiny result.
+    Deterministic order: count desc, token asc."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.split(" ").explode()
+        toks = toks[toks.astype(bool)]          # drop empty tokens
+        c = toks.value_counts()
+        return pd.DataFrame({"token": c.index.astype(str),
+                             "n": c.to_numpy().astype("int64")})
+
+    agg = docs.select_columns(["text"]) \
+        .map_batches(partial, batch_format="pandas") \
+        .groupby("token").aggregate(Sum("n", alias_name="n"))
+    out = agg.to_pandas()
+    out["n"] = out["n"].astype("int64")
+    out = out.sort_values(["n", "token"],
+                          ascending=[False, True]).head(k)
+    return out.reset_index(drop=True)
+
+
+def top_tokens_sql(k: int = 20) -> str:
+    return f"""
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS token
+              FROM documents)
+        WHERE token <> ''
+        GROUP BY 1 ORDER BY n DESC, token ASC LIMIT {k}
+    """

@@ -259,3 +259,38 @@ def test_doc_sample_vs_duckdb(ray_session):
         .sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     assert 0 < len(got) < _docs_ds().count()
+
+
+def test_top_tokens_vs_duckdb(ray_session):
+    import duckdb
+    from hecatoncheir_ray.functions.text import ray_top_tokens, top_tokens_sql
+    got = ray_top_tokens(_docs_ds(), k=20).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                "read_parquet('/root/testdata/sf0.001/documents.parquet')")
+    exp = con.execute(top_tokens_sql(20)).df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert len(got) == 20
+
+
+def test_ivf_store_prunes_and_recalls(ray_session, tmp_path):
+    from hecatoncheir_ray.functions.simsearch import (ivf_probe_dirs,
+                                                      topk_cosine_brute,
+                                                      topk_cosine_ivf_store,
+                                                      write_ivf_store)
+    out = str(tmp_path / "ivf")
+    write_ivf_store(_vecs_ds(), out, nlist=8)
+    rows = _vecs_ds().take(3)
+    Q = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                  for r in rows])
+    # nprobe == nlist reads every list -> exact brute parity
+    got = topk_cosine_ivf_store(out, Q, k=10, nprobe=8)
+    exp = topk_cosine_brute(_vecs_ds(), Q, k=10)
+    assert list(zip(got["query_id"], got["vec_id"])) \
+        == list(zip(exp["query_id"], exp["vec_id"]))
+    # pruning actually prunes at small nprobe
+    assert len(ivf_probe_dirs(out, Q, 2)) < len(ivf_probe_dirs(out, Q, 8))
+    # and the self-vector is still found (it lives in a probed list)
+    got2 = topk_cosine_ivf_store(out, Q, k=1, nprobe=2)
+    self_ids = [int(r["vec_id"]) for r in rows]
+    assert list(got2["vec_id"]) == self_ids
