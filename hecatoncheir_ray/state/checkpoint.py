@@ -182,4 +182,8 @@ def read_join_output(out_dir: str):
             sd = os.path.join(out_dir, d)
             files += [os.path.join(sd, f) for f in sorted(os.listdir(sd))
                       if f.endswith(".parquet")]
+    if not files:
+        import pyarrow as pa
+        return rd.from_arrow(pa.table({"r_id": pa.array([], pa.int64()),
+                                       "s_id": pa.array([], pa.int64())}))
     return rd.read_parquet(files)

@@ -90,3 +90,37 @@ def test_config_change_invalidates(ray_session, tmp_path):
     s = resumable_spatial_join(rf, sf, "covered_by", cfg, out,
                                num_slices=2)
     assert s["slices_run"] == 2
+
+
+def test_crashed_slice_partials_not_double_counted(ray_session, tmp_path):
+    """ADVICE r1: a crashed attempt leaves partial parquet in slice=<k>/
+    with no 'done' manifest; the resume must wipe them (not APPEND beside
+    them) and read_join_output must ignore not-done slices."""
+    import pyarrow as pa_
+    import pyarrow.parquet as pq_
+    out = str(tmp_path / "crash_out")
+    rf, sf, tr, ts = _factories()
+    cfg = EngineConfig(dataspace=BOUNDS, ppd=8, shuffle_parts=32)
+
+    base = sorted((r["r_id"], r["s_id"]) for r in
+                  spatial_join(rf(), sf(), "intersects", cfg,
+                               hot_cells=np.array([])).take_all())
+
+    # simulate a crashed attempt: stale partial output for slice 1,
+    # no manifest
+    sd = os.path.join(out, "slice=1")
+    os.makedirs(sd, exist_ok=True)
+    pq_.write_table(pa_.table({"r_id": pa_.array([999999], pa_.int64()),
+                               "s_id": pa_.array([999999], pa_.int64())}),
+                    os.path.join(sd, "stale_partial.parquet"))
+
+    # not-done slices are invisible to readers
+    assert read_join_output(out).count() == 0
+
+    s = resumable_spatial_join(rf, sf, "intersects", cfg, out,
+                               num_slices=4)
+    assert s["slices_run"] == 4
+    got = sorted((r["r_id"], r["s_id"]) for r in
+                 read_join_output(out).take_all())
+    assert got == base                     # stale row wiped, no dupes
+    assert s["rows"] == len(base)
