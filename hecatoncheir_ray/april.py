@@ -188,16 +188,6 @@ def _ring_layout(gtypes, offs, vals):
     return offs2, vals2, nv2
 
 
-_T0 = [None]
-def _dbg(name):
-    import os, time
-    if os.environ.get("APRIL_DEBUG"):
-        now = time.time()
-        if _T0[0] is not None:
-            print(f"  {name}: +{now-_T0[0]:.2f}s", flush=True)
-        _T0[0] = now
-
-
 def rasterize_batch(gtypes: np.ndarray, offs: np.ndarray, vals: np.ndarray,
                     bounds, order: int):
     """Vectorized APRIL generation for a whole batch of geometries.
@@ -218,14 +208,12 @@ def rasterize_batch(gtypes: np.ndarray, offs: np.ndarray, vals: np.ndarray,
     if n == 0:
         z = np.zeros(1, dtype=np.int32)
         return empty, z, empty, z
-    _dbg("SEC ring_layout")
     offs2, vals2, nv = _ring_layout(np.asarray(gtypes),
                                     np.asarray(offs), np.asarray(vals))
     gx = vals2[0::2]
     gy = vals2[1::2]
     voff = offs2 // 2                      # vertex offsets
     # per-geometry bounds check (sentinel: out-of-dataspace -> empty lists)
-    _dbg("SEC bounds")
     gmin_x = np.minimum.reduceat(gx, voff[:-1])
     gmax_x = np.maximum.reduceat(gx, voff[:-1])
     gmin_y = np.minimum.reduceat(gy, voff[:-1])
@@ -239,7 +227,6 @@ def rasterize_batch(gtypes: np.ndarray, offs: np.ndarray, vals: np.ndarray,
     sy = np.clip(fy * (gy - y0), 0, cpd - 1)
 
     # --- vertex cells (covers points and all edge endpoints) ---
-    _dbg("SEC vertex_cells")
     vgeom = np.repeat(np.arange(n, dtype=np.int64), nv)
     vsel = ok[vgeom]
     cell_rows = [np.stack([vgeom[vsel],
@@ -247,7 +234,6 @@ def rasterize_batch(gtypes: np.ndarray, offs: np.ndarray, vals: np.ndarray,
                            np.floor(sy[vsel]).astype(np.int64)], axis=1)]
 
     # --- edge crossing cells ---
-    _dbg("SEC edges_begin")
     closed = (np.asarray(gtypes) == GT_POLYGON) | \
              (np.asarray(gtypes) == GT_BOX)
     ne = np.where(ok, np.where(closed, np.where(nv > 1, nv, 0),
@@ -310,7 +296,6 @@ def rasterize_batch(gtypes: np.ndarray, offs: np.ndarray, vals: np.ndarray,
         mcy = np.floor(ey1[me] + tm * dy[me]).astype(np.int64)
         cell_rows.append(np.stack([egeom[me], mcx, mcy], axis=1))
 
-    _dbg("SEC cells_concat")
     cells = np.concatenate(cell_rows)
     if len(cells) == 0:
         z = np.zeros(n + 1, dtype=np.int32)
@@ -328,7 +313,6 @@ def rasterize_batch(gtypes: np.ndarray, offs: np.ndarray, vals: np.ndarray,
     d = hkey % (cpd * cpd)
 
     # --- gaps along the Hilbert curve, classified FULL/EMPTY ---
-    _dbg("SEC gaps_begin")
     same_g = kg[1:] == kg[:-1]
     gap = same_g & (np.diff(d) > 1)
     gi = np.nonzero(gap)[0]                # gap between d[gi], d[gi+1]
@@ -390,14 +374,12 @@ def rasterize_batch(gtypes: np.ndarray, offs: np.ndarray, vals: np.ndarray,
             on[glo:ghi] = np.bincount(pg[on_e] - glo, minlength=w) > 0
             glo = ghi
         full_gap[reg_gap] = inside & ~on
-    _dbg("SEC gaps_done")
     is_full = np.zeros(len(kg) - 1, dtype=bool) if len(kg) > 1 \
         else np.zeros(0, dtype=bool)
     is_full[gi] = full_gap
 
     # --- interval assembly ---
     # ALL: break between i and i+1 at geometry change or EMPTY gap
-    _dbg("SEC intervals")
     brk = ~same_g | (gap & ~is_full)
     starts = np.concatenate([[0], np.nonzero(brk)[0] + 1])
     ends = np.concatenate([np.nonzero(brk)[0], [len(kg) - 1]])
@@ -419,7 +401,6 @@ def rasterize_batch(gtypes: np.ndarray, offs: np.ndarray, vals: np.ndarray,
     f_counts = np.bincount(f_geom, minlength=n)
     f_offs = np.zeros(n + 1, dtype=np.int32)
     np.cumsum(2 * f_counts, out=f_offs[1:])
-    _dbg("SEC end")
     return all_vals, all_offs, f_vals, f_offs
 
 
