@@ -298,13 +298,22 @@ def _q_minhash_near_dups(sf_dir: str):
 
 
 def _q_simhash_near_dups(sf_dir: str):
+    """md5 token-hash mode: signatures rebuildable in DuckDB
+    (md5_number_lower) and the 4-band pigeonhole makes the candidate set
+    exhaustive for hamming <= 3 -> bit-exact SQL twin.  The 'fast'
+    vectorized-siphash mode is the scale path (pair-set parity tested)."""
     from hecatoncheir_ray.functions.dedup import simhash_near_dups
-    return simhash_near_dups(_docs(sf_dir), max_hamming=3)
+    return simhash_near_dups(_docs(sf_dir), max_hamming=3,
+                             token_hash="md5")
 
 
 def _q_embedding_near_dups(sf_dir: str):
+    """Near-dups over embeddings ∪ seeded perturbed copies (the raw fixture
+    has no true near-dups — max natural pair cosine ~0.51).  Verification is
+    integer-cosine (qnorm), bit-exact vs the brute-force SQL twin."""
     from hecatoncheir_ray.functions.dedup import embedding_near_dups
-    return embedding_near_dups(_vecs(sf_dir), threshold=0.95)
+    return embedding_near_dups(derive.ray_embeddings_with_dups(sf_dir),
+                               threshold=0.95)
 
 
 def _q_doc_bpe_tokens(sf_dir: str):
@@ -324,22 +333,38 @@ def _q_doc_sample(sf_dir: str):
     return ray_doc_sample(_docs(sf_dir))
 
 
+_ANN_QIDS = [0, 1, 2]
+
+
+def _query_vecs(sf_dir: str, qids) -> np.ndarray:
+    import pyarrow.compute as pc
+
+    def pick(t):
+        import pyarrow as pa
+        return t.filter(pc.is_in(t["vec_id"],
+                                 value_set=pa.array(qids, type=pa.int64())))
+
+    rows = _vecs(sf_dir).map_batches(pick, batch_format="pyarrow").take_all()
+    by_id = {int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64)
+             for r in rows}
+    return np.stack([by_id[q] for q in qids])
+
+
 def _q_ann_topk_ivf_store(sf_dir: str):
-    """ANN over the IVF-partitioned embedding store (reads only probed
-    list partitions; rows-only check — float cosine has no stable SQL
-    twin)."""
+    """EXACT ANN over the IVF-partitioned embedding store: sound per-list
+    angle bounds decide which partitions must be read; the result is
+    bit-identical to the full-table qnorm scan, so the same SQL twin as
+    ann_topk_cosine applies.  (On this near-random fixture the bounds
+    don't prune — clustered corpora do; pruning is exercised in tests.)"""
     import os
-    import numpy as np
-    from hecatoncheir_ray.functions.simsearch import (topk_cosine_ivf_store,
-                                                      write_ivf_store)
+    from hecatoncheir_ray.functions.simsearch import (
+        topk_cosine_ivf_store_qnorm, write_ivf_store_v2)
     tag = sf_dir.strip("/").replace("/", "_")
-    out = f"/tmp/hec_ivf_{tag}"
+    out = f"/tmp/hec_ivf2_{tag}"
     if not os.path.exists(os.path.join(out, "_centroids.json")):
-        write_ivf_store(_vecs(sf_dir), out, nlist=16)
-    rows = _vecs(sf_dir).take(3)
-    Q = np.stack([np.asarray(r["embedding"], dtype=np.float64)
-                  for r in rows])
-    return topk_cosine_ivf_store(out, Q, k=10, nprobe=4)
+        write_ivf_store_v2(_vecs(sf_dir), out, nlist=16)
+    Q = _query_vecs(sf_dir, _ANN_QIDS)
+    return topk_cosine_ivf_store_qnorm(out, Q, _ANN_QIDS, k=10, nprobe=4)
 
 
 def _q_doc_top_tokens(sf_dir: str):
@@ -362,12 +387,11 @@ def _q_event_window_agg(sf_dir: str):
 
 
 def _q_ann_topk_cosine(sf_dir: str):
-    from hecatoncheir_ray.functions.simsearch import topk_cosine_brute
-    rows = _vecs(sf_dir).take(3)
-    q = np.stack([np.asarray(r["embedding"], dtype=np.float64)
-                  for r in rows])
-    out = topk_cosine_brute(_vecs(sf_dir), q, k=10)
-    return out[["query_id", "vec_id"]]   # drop float score for stability
+    """Exact cosine top-k in the quantized-normalized integer domain
+    (simsearch qnorm) — bit-exact SQL twin.  The float brute/LSH/IVF
+    variants remain the perf paths (ranking agreement tested)."""
+    from hecatoncheir_ray.functions.simsearch import topk_cosine_qnorm
+    return topk_cosine_qnorm(_vecs(sf_dir), _ANN_QIDS, k=10)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -518,6 +542,12 @@ def oracle_sql() -> dict[str, str]:
         "event_window_agg": _windows.tumbling_window_agg_sql(),
         "event_hopping_agg": _windows.hopping_window_agg_sql(),
         "doc_sample": _text.doc_sample_sql(),
+        "ann_topk_cosine": _simsearch.topk_cosine_qnorm_sql(_ANN_QIDS, k=10),
+        "ann_topk_ivf_store":
+            _simsearch.topk_cosine_qnorm_sql(_ANN_QIDS, k=10),
+        "embedding_near_dups": _dedup.embedding_near_dups_sql(
+            derive.sql_embeddings_with_dups_long(), threshold=0.95),
+        "simhash_near_dups": _dedup.simhash_near_dups_sql(max_hamming=3),
         "doc_lang_hist": ("SELECT lang_guess, COUNT(*) AS n FROM ("
                           + _text.lang_id_sql() + ") GROUP BY 1"),
         "doc_top_tokens": _text.top_tokens_sql(20),

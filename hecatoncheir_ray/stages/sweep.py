@@ -142,21 +142,28 @@ def _pip_classify(geo, pt_idx, ar_idx):
 # ---------------------------------------------------------------------------
 
 def _verts_vs_polys(geo, src, poly):
-    """Per-pair vertex-containment stats, fully vectorized: for each pair k,
-    were ANY vertices of geometry src[k] strictly inside / on the boundary
-    of polygon poly[k]?  One padded-ring PiP pass over every vertex of every
-    pair (no per-polygon Python loop).
+    """(any_in, any_on) convenience wrapper over the per-pair counts."""
+    n_in, n_on, _ = _verts_vs_polys_stats(geo, src, poly)
+    return n_in > 0, n_on > 0
 
-    Returns (any_in, any_on) boolean arrays aligned with the pairs.
-    src/poly must reference GT_POLYGON rows (single rings).
+
+def _verts_vs_polys_stats(geo, src, poly):
+    """Per-pair vertex-containment counts, fully vectorized: for each pair
+    k, HOW MANY vertices of geometry src[k] are strictly inside / on the
+    boundary of polygon poly[k]?  One padded-ring PiP pass over every
+    vertex of every pair (no per-polygon Python loop).
+
+    Returns (n_in, n_on, n_verts) int64 arrays aligned with the pairs.
+    poly must reference GT_POLYGON rows (single rings); src may be any
+    coords-pair geometry (polygon or linestring vertices).
     """
     from ..geometry.predicates import (_ON_EPS as _eps, build_padded_rings,
                                        points_in_rings_batch)
     ids, gtypes, offs, vals, minx, miny, maxx, maxy = geo
-    any_in = np.zeros(len(src), dtype=bool)
-    any_on = np.zeros(len(src), dtype=bool)
+    n_in = np.zeros(len(src), dtype=np.int64)
+    n_on = np.zeros(len(src), dtype=np.int64)
     if len(src) == 0:
-        return any_in, any_on
+        return n_in, n_on, n_in.copy()
     uniq, inv = np.unique(poly, return_inverse=True)
     padded = build_padded_rings(offs, vals, uniq)
     nv = ((offs[src + 1] - offs[src]) // 2).astype(np.int64)
@@ -190,10 +197,10 @@ def _verts_vs_polys(geo, src, poly):
             sel = np.nonzero(live)[0]
             cls[sel] = points_in_rings_batch(
                 px[sel], py[sel], inv[lo:hi][pair_of_pt[sel]], padded)
-        any_in[lo:hi] = np.add.reduceat(cls == 1, rep_starts) > 0
-        any_on[lo:hi] = np.add.reduceat(cls == 0, rep_starts) > 0
+        n_in[lo:hi] = np.add.reduceat(cls == 1, rep_starts)
+        n_on[lo:hi] = np.add.reduceat(cls == 0, rep_starts)
         lo = hi
-    return any_in, any_on
+    return n_in, n_on, nv
 
 
 def _ragged_starts(counts):
