@@ -20,11 +20,29 @@ import pyarrow as pa
 
 from ray.data import Dataset
 
-from ..geometry.core import GT_POINT
-from ..geometry.fast import eval_predicate, points_in_polygon_batch
+from ..geometry.core import GT_BOX, GT_POINT, GT_POLYGON, box_to_ring
+from ..geometry.fast import points_in_polygon_batch
 from ..stages.assign import geoms_from_table
 
 RANGE_SCHEMA = pa.schema([("query_id", pa.int64()), ("id", pa.int64())])
+
+
+def _with_window(geo, wgt: int, wc: np.ndarray, wmbr):
+    """Append the query window as one extra geometry row so the join
+    kernel's mega-batched ``refine_mask`` can evaluate window-vs-candidate
+    pairs vectorized (window row index = len(original))."""
+    ids, gtypes, offs, vals, minx, miny, maxx, maxy = geo
+    if wgt == GT_BOX:      # ring form keeps polygon candidates vectorized
+        wc = box_to_ring(wc).ravel()
+        wgt = GT_POLYGON
+    app = lambda a, v, dt: np.concatenate([a, np.asarray([v], dtype=dt)])
+    return (app(ids, -1, ids.dtype),
+            app(gtypes, wgt, gtypes.dtype),
+            np.concatenate([np.asarray(offs, dtype=np.int64),
+                            [int(offs[-1]) + len(wc)]]),
+            np.concatenate([vals, wc]),
+            app(minx, wmbr[0], minx.dtype), app(miny, wmbr[1], miny.dtype),
+            app(maxx, wmbr[2], maxx.dtype), app(maxy, wmbr[3], maxy.dtype))
 
 
 def make_range_fn(windows: list[tuple[int, int, np.ndarray]]):
@@ -35,10 +53,13 @@ def make_range_fn(windows: list[tuple[int, int, np.ndarray]]):
     wmbrs = [mbr_of(gt, c) for _, gt, c in wins]
 
     def range_eval(t: pa.Table) -> pa.Table:
-        ids, gtypes, offs, vals, minx, miny, maxx, maxy = geoms_from_table(t)
+        from ..stages.sweep import refine_mask
+        geo = geoms_from_table(t)
+        ids, gtypes, offs, vals, minx, miny, maxx, maxy = geo
         out_q, out_id = [], []
         all_points = bool((gtypes == GT_POINT).all()) if len(gtypes) else True
-        for (qid, wgt, wc), (wx0, wy0, wx1, wy1) in zip(wins, wmbrs):
+        for (qid, wgt, wc), wmbr in zip(wins, wmbrs):
+            wx0, wy0, wx1, wy1 = wmbr
             cand = np.nonzero((minx <= wx1) & (wx0 <= maxx)
                               & (miny <= wy1) & (wy0 <= maxy))[0]
             if len(cand) == 0:
@@ -49,11 +70,14 @@ def make_range_fn(windows: list[tuple[int, int, np.ndarray]]):
                 keep = points_in_polygon_batch(px, py, wgt, wc) >= 0
                 hits = cand[keep]
             else:
-                hits = [i for i in cand
-                        if eval_predicate("intersects", wgt, wc,
-                                          int(gtypes[i]),
-                                          vals[offs[i]:offs[i + 1]])]
-                hits = np.asarray(hits, dtype=np.int64)
+                # window as an extra geometry row -> one vectorized
+                # refine_mask call per (window, batch) instead of a
+                # per-candidate Python loop
+                geo2 = _with_window(geo, wgt, wc, wmbr)
+                wrow = np.full(len(cand), len(gtypes), dtype=np.int64)
+                keep = refine_mask(None, geo2, wrow,
+                                   cand.astype(np.int64), "intersects")
+                hits = cand[keep]
             out_q.append(np.full(len(hits), qid, dtype=np.int64))
             out_id.append(ids[hits])
         if not out_q:

@@ -475,6 +475,146 @@ def _edge_cross_kind(geo, i, j, eps=_ON_EPS, cache=None):
     return 1 if touch.any() else 0
 
 
+# per-pair fallback counters (in-process; tests assert the mega-batched
+# paths leave the slow remainder at ~0 on realistic layers)
+PAIR_FALLBACKS = {"refine_rest": 0, "refine_undecided": 0,
+                  "relation_rest": 0, "relation_touch": 0,
+                  "relation_april": 0}
+
+
+def reset_pair_fallbacks():
+    for k in PAIR_FALLBACKS:
+        PAIR_FALLBACKS[k] = 0
+
+
+_CONT_PREDS = ("inside", "covered_by", "contains", "covers", "equal", "meet")
+
+
+def _containment_batch(geo, sub_r, sub_s, predicate, april=None):
+    """Staged mega-batch for the containment-family predicates over
+    polygon/linestring pairs (per-pair ``eval_predicate`` only survives in
+    the returned ``undecided`` remainder).
+
+    Soundness of the vectorized rules (simple single rings, matching the
+    eps conventions of the per-pair kernels):
+
+    * kinds = 0 (no boundary contact): an edge cannot leave the other
+      geometry's interior without crossing its boundary, so
+      all-vertices-strictly-in <=> closure containment with no contact,
+      and no-vertex-in on both sides <=> disjoint.
+    * kinds = 2 (proper crossing): each boundary provably reaches the
+      other's exterior -> containment / equal / meet are all False.
+    * kinds = 1 (touch-only): False is still conclusive when a vertex is
+      strictly outside (containment), strictly inside (meet), or off the
+      boundary (equal); what remains — containment-with-touch and exact
+      equality candidates — is the undecided remainder.
+
+    Reference semantics: refinement::relate masks (topology.cpp; boost
+    within/covered_by/equals/meet).  Returns (keep, undecided) aligned
+    with the pairs.
+    """
+    ids, gtypes, offs, vals, *_ = geo
+    P = len(sub_r)
+    keep = np.zeros(P, dtype=bool)
+    und = np.zeros(P, dtype=bool)
+    decided = np.zeros(P, dtype=bool)
+
+    if april is not None:
+        # J5 intermediate filter, vectorized per predicate
+        # (src/APRIL/filter.cpp:229-339 dispatch)
+        from ..april import intervals_contained_pairs
+        ao, av, fo, fv = april
+        ao64 = np.asarray(ao, dtype=np.int64)
+        valid = (((ao64[sub_r + 1] - ao64[sub_r]) > 0)
+                 & ((ao64[sub_s + 1] - ao64[sub_s]) > 0))
+        if predicate in ("inside", "covered_by"):
+            c_rs = intervals_contained_pairs(av, ao, sub_r, av, ao, sub_s)
+            decided |= valid & ~c_rs              # pokes out -> False
+            if predicate == "covered_by":
+                hitm = valid & intervals_contained_pairs(av, ao, sub_r,
+                                                         fv, fo, sub_s)
+                keep |= hitm & ~decided           # deep containment
+                decided |= hitm
+        elif predicate in ("contains", "covers"):
+            c_sr = intervals_contained_pairs(av, ao, sub_s, av, ao, sub_r)
+            decided |= valid & ~c_sr
+            if predicate == "covers":
+                hitm = valid & intervals_contained_pairs(av, ao, sub_s,
+                                                         fv, fo, sub_r)
+                keep |= hitm & ~decided
+                decided |= hitm
+        elif predicate == "equal":
+            c_rs = intervals_contained_pairs(av, ao, sub_r, av, ao, sub_s)
+            c_sr = intervals_contained_pairs(av, ao, sub_s, av, ao, sub_r)
+            decided |= valid & ~(c_rs & c_sr)     # lists differ -> not equal
+        elif predicate == "meet":
+            hit, neg = _april_intersects_decision(april, sub_r, sub_s)
+            decided |= hit | neg   # interiors overlap / disjoint: not meet
+
+    rem = np.nonzero(~decided)[0]
+    if len(rem) == 0:
+        return keep, und
+    rr, rs = sub_r[rem], sub_s[rem]
+    gtr = gtypes[rr]
+    gts = gtypes[rs]
+    rpoly = gtr == GT_POLYGON
+    spoly = gts == GT_POLYGON
+    kinds = _edge_cross_batch(geo, rr, rs)
+    kp = np.zeros(len(rem), dtype=bool)
+    ru = np.zeros(len(rem), dtype=bool)
+
+    def stats(src_rows, poly_rows, mask):
+        n_in = np.zeros(len(rem), dtype=np.int64)
+        n_on = np.zeros(len(rem), dtype=np.int64)
+        nv = np.ones(len(rem), dtype=np.int64)
+        mi = np.nonzero(mask)[0]
+        if len(mi):
+            a, b, c = _verts_vs_polys_stats(geo, src_rows[mi], poly_rows[mi])
+            n_in[mi], n_on[mi], nv[mi] = a, b, c
+        return n_in, n_on, nv
+
+    if predicate in ("inside", "covered_by", "contains", "covers"):
+        if predicate in ("inside", "covered_by"):
+            a_rows, b_rows, b_is_poly, a_is_poly = rr, rs, spoly, rpoly
+        else:
+            a_rows, b_rows, b_is_poly, a_is_poly = rs, rr, rpoly, spoly
+        # b not areal: a polygon can never sit inside a line (False,
+        # decided); line-in-line stays per-pair (rare layers)
+        ru |= ~b_is_poly & ~a_is_poly
+        ain, aon, anv = stats(a_rows, b_rows, b_is_poly)
+        # b's vertices strictly inside a => b's boundary dips into a
+        # (kills covered_by/covers for areal pairs)
+        bin_, _, _ = stats(b_rows, a_rows, b_is_poly & a_is_poly)
+        all_strict = b_is_poly & (ain == anv)
+        all_closed = b_is_poly & (ain + aon == anv)
+        if predicate in ("inside", "contains"):
+            # strict: any boundary contact at all falsifies
+            kp |= (kinds == 0) & all_strict
+            # eps-asymmetry guard: vertices all in/on but no detected
+            # touch cannot be decided cheaply
+            ru |= (kinds == 0) & all_closed & ~all_strict
+        else:
+            kp |= (kinds == 0) & all_strict & (bin_ == 0)
+            ru |= (all_closed & (kinds == 1) & (bin_ == 0)
+                   | ((kinds == 0) & all_closed & ~all_strict))
+    elif predicate == "equal":
+        # equality needs every vertex of each boundary ON the other
+        ron = stats(rr, rs, spoly)
+        son = stats(rs, rr, rpoly)
+        cand = (spoly & rpoly & (ron[1] == ron[2]) & (son[1] == son[2])
+                & (kinds != 2))
+        ru |= cand
+        ru |= ~rpoly & ~spoly          # line-line equality: per-pair
+    elif predicate == "meet":
+        rin = stats(rr, rs, spoly)[0]
+        sin_ = stats(rs, rr, rpoly)[0]
+        # touch-only contact with no strict interior entry is the only
+        # possible meet; everything else is conclusively not-meet
+        ru |= (kinds == 1) & (rin == 0) & (sin_ == 0)
+
+    keep[rem] = kp
+    und[rem] = ru & ~kp
+    return keep, und
 # point-side refinement modes (cls thresholds) per predicate
 _PT_MODES_R = {"intersects": "in_or_on", "inside": "strict",
                "covered_by": "in_or_on", "meet": "on", "disjoint": "out"}
@@ -514,6 +654,53 @@ def _april_intersects_decision(april, r_rows, s_rows):
     hit = (intervals_intersect_pairs(av, ao, r_rows, fv, fo, s_rows)
            | intervals_intersect_pairs(fv, fo, r_rows, av, ao, s_rows))
     return hit, valid & ~inter_aa
+
+
+def _april_topology_batch(april, r_rows, s_rows, mbr_cases, interiors):
+    """Vectorized ``april_topology`` containment dispatch (J6,
+    src/APRIL/filter.cpp:18-223) for the MBR containment cases: one
+    pairwise interval-containment join per direction instead of a
+    per-pair Python loop.  ``interiors`` must already be ANDed with
+    list-validity by the caller.  Returns (rel, decided)."""
+    from ..april import intervals_contained_pairs
+    ao, av, fo, fv = april
+    P = len(r_rows)
+    rel = np.full(P, TR_INTERSECT, dtype=np.int8)
+    decided = np.zeros(P, dtype=bool)
+    cont = interiors & (mbr_cases != MBR_INTERSECT)
+    if not cont.any():
+        return rel, decided
+    c_rs_f = intervals_contained_pairs(av, ao, r_rows, fv, fo, s_rows)
+    c_rs_a = intervals_contained_pairs(av, ao, r_rows, av, ao, s_rows)
+    c_sr_f = intervals_contained_pairs(av, ao, s_rows, fv, fo, r_rows)
+    c_sr_a = intervals_contained_pairs(av, ao, s_rows, av, ao, r_rows)
+    from ..geometry.predicates import (MBR_EQUAL, MBR_R_IN_S, MBR_S_IN_R,
+                                       TR_CONTAINS, TR_INSIDE)
+    m = cont & (mbr_cases == MBR_R_IN_S)
+    mm = m & c_rs_f
+    rel[mm] = TR_INSIDE
+    decided |= mm
+    mm = m & ~c_rs_f & ~c_rs_a
+    rel[mm] = TR_INTERSECT        # provably pokes out of S
+    decided |= mm
+    m = cont & (mbr_cases == MBR_S_IN_R)
+    mm = m & c_sr_f
+    rel[mm] = TR_CONTAINS
+    decided |= mm
+    mm = m & ~c_sr_f & ~c_sr_a
+    rel[mm] = TR_INTERSECT
+    decided |= mm
+    m = cont & (mbr_cases == MBR_EQUAL)
+    mm = m & c_rs_f
+    rel[mm] = TR_INSIDE
+    decided |= mm
+    mm = m & ~c_rs_f & c_sr_f
+    rel[mm] = TR_CONTAINS
+    decided |= mm
+    mm = m & ~c_rs_f & ~c_sr_f & ~c_rs_a & ~c_sr_a
+    rel[mm] = TR_INTERSECT
+    decided |= mm
+    return rel, decided
 
 
 def refine_mask(cfg: EngineConfig, geo, gri, gsi, predicate: str,
@@ -608,6 +795,25 @@ def refine_mask(cfg: EngineConfig, geo, gri, gsi, predicate: str,
         keep[sel] = hit if predicate == "intersects" else ~hit
         done |= line_mix
 
+    # polygon/linestring containment-family predicates: staged mega-batch
+    # (the per-pair evaluator only runs on the touch/equality remainder,
+    # which is ~0 on realistic layers — see PAIR_FALLBACKS)
+    pl_cont = (np.isin(gtr, (GT_POLYGON, GT_LINESTRING))
+               & np.isin(gts, (GT_POLYGON, GT_LINESTRING)) & ~done)
+    if pl_cont.any() and predicate in _CONT_PREDS:
+        sel = np.nonzero(pl_cont)[0]
+        kp, und = _containment_batch(geo, gri[sel], gsi[sel], predicate,
+                                     april)
+        keep[sel] = kp
+        for u in np.nonzero(und)[0].tolist():
+            PAIR_FALLBACKS["refine_undecided"] += 1
+            i, j = int(gri[sel[u]]), int(gsi[sel[u]])
+            keep[sel[u]] = eval_predicate(predicate, int(gtypes[i]),
+                                          _geom(offs, vals, i),
+                                          int(gtypes[j]),
+                                          _geom(offs, vals, j))
+        done |= pl_cont
+
     pp = (gtr == GT_POINT) & (gts == GT_POINT) & ~done
     if pp.any():
         dx = vals[offs[gri[pp]]] - vals[offs[gsi[pp]]]
@@ -628,6 +834,7 @@ def refine_mask(cfg: EngineConfig, geo, gri, gsi, predicate: str,
         # conclusive TRUE_HIT / TRUE_NEGATIVE skip exact refinement
         from ..april import april_filter_predicate
         for k in rest.tolist():
+            PAIR_FALLBACKS["refine_rest"] += 1
             i, j = int(gri[k]), int(gsi[k])
             a_r, f_r = _april_of(april, i)
             a_s, f_s = _april_of(april, j)
@@ -641,6 +848,7 @@ def refine_mask(cfg: EngineConfig, geo, gri, gsi, predicate: str,
                                          _geom(offs, vals, j))
         return keep
     for k in rest.tolist():
+        PAIR_FALLBACKS["refine_rest"] += 1
         i, j = int(gri[k]), int(gsi[k])
         keep[k] = eval_predicate(predicate, int(gtypes[i]),
                                  _geom(offs, vals, i), int(gtypes[j]),
@@ -664,11 +872,10 @@ def classify_relations(cfg: EngineConfig, geo, gri, gsi,
 
     if april is not None:
         # APRIL topology filter (J6, src/APRIL/filter.cpp:18-223): sound
-        # conclusive relations skip geometric classification.  The
+        # conclusive relations skip geometric classification.  Both the
         # dominant MBR_INTERSECT dispatch (DISJOINT / interiors-overlap ->
-        # INTERSECT) is fully vectorized via the pairwise interval joins;
-        # the rarer containment MBR cases keep the per-pair shortcuts.
-        from ..april import april_topology
+        # INTERSECT) and the containment MBR cases are vectorized via the
+        # pairwise interval joins — no per-pair Python.
         aa_sel = np.nonzero(np.isin(gtr, _AREAL) & np.isin(gts, _AREAL))[0]
         if len(aa_sel):
             hit, neg = _april_intersects_decision(april, gri[aa_sel],
@@ -679,14 +886,13 @@ def classify_relations(cfg: EngineConfig, geo, gri, gsi,
             ih = m_int & hit & ~neg
             rel[aa_sel[ih]] = TR_INTERSECT
             done[aa_sel[ih]] = True
-            for k in aa_sel[~neg & ~m_int].tolist():
-                i, j = int(gri[k]), int(gsi[k])
-                a_r, f_r = _april_of(april, i)
-                a_s, f_s = _april_of(april, j)
-                res = april_topology(a_r, f_r, a_s, f_s, int(mbr_cases[k]))
-                if res is not None:
-                    rel[k] = res
-                    done[k] = True
+            sub = np.nonzero(~neg & ~m_int)[0]
+            if len(sub):
+                relb, decb = _april_topology_batch(
+                    april, gri[aa_sel[sub]], gsi[aa_sel[sub]],
+                    mbr_cases[aa_sel[sub]], hit[sub])
+                rel[aa_sel[sub[decb]]] = relb[decb]
+                done[aa_sel[sub[decb]]] = True
 
     bb = (gtr == GT_BOX) & (gts == GT_BOX)
     if bb.any():
@@ -735,14 +941,63 @@ def classify_relations(cfg: EngineConfig, geo, gri, gsi,
             rel[sel[und[no_contact]]] = TR_DISJOINT
             # touch-only remainder: MEET vs INTERSECT needs full relate
             for u in und[(kinds != 2) & ~no_contact].tolist():
+                PAIR_FALLBACKS["relation_touch"] += 1
                 i, j = int(gri[sel[u]]), int(gsi[sel[u]])
                 rel[sel[u]] = find_relation(
                     int(gtypes[i]), _geom(offs, vals, i),
                     int(gtypes[j]), _geom(offs, vals, j), MBR_INTERSECT)
         done |= aa
 
+    # polygon-polygon with an MBR containment case (R_IN_S / S_IN_R /
+    # EQUAL), not decided by APRIL: same staged mega-batch.  With no
+    # boundary contact, all-vertices-strictly-in <=> INSIDE/CONTAINS and
+    # no-vertices-in <=> DISJOINT (reference quirk: the MBR_EQUAL path
+    # never tests disjoint, so no-contact no-containment -> INTERSECT,
+    # topology.cpp:272-291).  Touch / possible-equality pairs remain
+    # per-pair.
+    aa2 = ((gtr == GT_POLYGON) & (gts == GT_POLYGON) & ~done
+           & (mbr_cases != MBR_INTERSECT))
+    if aa2.any():
+        from ..geometry.predicates import (MBR_EQUAL, MBR_R_IN_S,
+                                           MBR_S_IN_R, TR_CONTAINS,
+                                           TR_INSIDE)
+        sel = np.nonzero(aa2)[0]
+        kinds = _edge_cross_batch(geo, gri[sel], gsi[sel])
+        rin, ron, rnv = _verts_vs_polys_stats(geo, gri[sel], gsi[sel])
+        sin_, son, snv = _verts_vs_polys_stats(geo, gsi[sel], gri[sel])
+        mc = mbr_cases[sel]
+        k0 = kinds == 0
+        out = np.full(len(sel), TR_INTERSECT, dtype=np.int8)
+        dec = kinds == 2                      # proper crossing: INTERSECT
+        all_r = rin == rnv
+        all_s = sin_ == snv
+        none_in = (rin == 0) & (sin_ == 0)
+        eq_cand = (ron == rnv) & (son == snv) & (kinds != 2)
+        for case, strict_all, tr in ((MBR_R_IN_S, all_r, TR_INSIDE),
+                                     (MBR_S_IN_R, all_s, TR_CONTAINS)):
+            c = mc == case
+            m = c & k0 & strict_all
+            out[m] = tr
+            dec |= m
+            m = c & k0 & none_in & ~strict_all
+            out[m] = TR_DISJOINT
+            dec |= m
+        c = mc == MBR_EQUAL
+        m = c & k0 & all_r & ~eq_cand
+        out[m] = TR_INSIDE
+        dec |= m
+        m = c & k0 & all_s & ~eq_cand
+        out[m] = TR_CONTAINS
+        dec |= m
+        m = c & k0 & none_in & ~eq_cand & ~all_r & ~all_s
+        out[m] = TR_INTERSECT
+        dec |= m
+        rel[sel[dec]] = out[dec]
+        done[sel[dec]] = True
+
     rest = np.nonzero(~done)[0]
     for k in rest.tolist():
+        PAIR_FALLBACKS["relation_rest"] += 1
         if mbr_cases[k] == MBR_CROSS:    # parity: unreachable
             rel[k] = TR_INTERSECT
             continue
