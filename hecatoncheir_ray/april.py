@@ -585,12 +585,44 @@ def april_topology(a_r, f_r, a_s, f_s, mbr_case: int) -> int | None:
     return None
 
 
+APRIL_META_KEY = b"hx_april"
+
+
+def april_meta_of(ds) -> dict | None:
+    """Return the persisted {'bounds': [...], 'order': n} for a Dataset
+    whose schema carries the persist_april metadata, else None."""
+    import json
+    try:
+        sch = ds.schema()
+        base = getattr(sch, "base_schema", None)
+        meta = getattr(base, "metadata", None) or {}
+        raw = meta.get(APRIL_META_KEY)
+        return json.loads(raw.decode()) if raw else None
+    except Exception:
+        return None
+
+
 def persist_april(geom_ds, out_dir: str, bounds, order: int):
     """S8 analog (src/APRIL/storage.cpp:7-53): compute and persist the
     geometry table WITH its april_all/april_full columns as parquet, so
-    repeated joins skip rasterization."""
+    repeated joins skip rasterization.
+
+    The raster (bounds, order) are embedded in the parquet schema metadata
+    so spatial_join can verify a persisted side matches the join's raster
+    space before reusing the columns (two stores persisted at different
+    orders/bounds are NOT interval-comparable)."""
+    import json
+    import pyarrow as pa
     gen = make_april_fn(bounds, order)
-    geom_ds.map_batches(gen, batch_format="pyarrow").write_parquet(out_dir)
+    meta = {APRIL_META_KEY: json.dumps(
+        {"bounds": [float(b) for b in bounds],
+         "order": int(order)}).encode()}
+
+    def gen_with_meta(t: pa.Table) -> pa.Table:
+        return gen(t).replace_schema_metadata(meta)
+
+    geom_ds.map_batches(gen_with_meta,
+                        batch_format="pyarrow").write_parquet(out_dir)
 
 
 def load_april(path: str):

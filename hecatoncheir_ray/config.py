@@ -91,10 +91,11 @@ class EngineConfig:
         ppd ~ sqrt(n_rows / target_per_cell) rounded to a power of two
         (cells average ~target_per_cell rows, bounding the per-cell
         all-pairs work), clamped to [16, 4096]; then the reference's
-        load-balance nudge: grow ppd until ppd %% workers == 1 so
-        round-robin-ish cell-to-worker assignment has no systematic
-        remainder imbalance (the reference applies the same rule to its
-        distribution grid).
+        load-balance nudge ``ppd += (ppd %% workers) + 1`` applied
+        verbatim (parse.cpp:170-172).  NOTE: the reference arithmetic
+        only lands on ``ppd %% workers == 1`` for some (ppd, workers)
+        combinations — e.g. workers=7, ppd=16 -> 19, 19%%7=5.  We mirror
+        the quirk rather than the intent, for partitioning parity.
         """
         import dataclasses
         import math

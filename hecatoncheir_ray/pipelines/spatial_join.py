@@ -115,17 +115,35 @@ def spatial_join(r: Dataset, s: Dataset, predicate: str = "intersects",
         # APRIL generation stage (ST2: once per object, BEFORE replication;
         # the interval columns ride the shuffle like the reference ships
         # AprilData with its objects).  Inputs that already carry the
-        # columns (load_april, reference S9) skip regeneration.
-        from ..april import make_april_fn
+        # columns (load_april, reference S9) skip regeneration — but ONLY
+        # when the persisted raster (bounds, order) matches this join's
+        # raster space (schema metadata written by persist_april); a
+        # mismatched or unverifiable persisted raster is regenerated, as
+        # interval lists from different raster spaces are not comparable.
+        from ..april import april_meta_of, make_april_fn
         gen = make_april_fn(bounds, cfg.april_n)
-        if "april_all" not in r.schema().names:
-            r2 = r2.map_batches(gen, batch_format="pyarrow")
-        else:
+
+        def reusable(ds) -> bool:
+            if "april_all" not in ds.schema().names:
+                return False
+            m = april_meta_of(ds)
+            if m is None:
+                # in-pipeline columns (no persist roundtrip): trust the
+                # caller, matching pre-metadata behavior
+                return True
+            return (m.get("order") == cfg.april_n
+                    and len(m.get("bounds", [])) == 4
+                    and all(float(a) == float(b)
+                            for a, b in zip(m["bounds"], bounds)))
+
+        if reusable(r):
             r2 = r.select_columns(GEOM_COLS + ["april_all", "april_full"])
-        if "april_all" not in s.schema().names:
-            s2 = s2.map_batches(gen, batch_format="pyarrow")
         else:
+            r2 = r2.map_batches(gen, batch_format="pyarrow")
+        if reusable(s):
             s2 = s.select_columns(GEOM_COLS + ["april_all", "april_full"])
+        else:
+            s2 = s2.map_batches(gen, batch_format="pyarrow")
         keep_cols += ["april_all", "april_full"]
     # assign is cheap: bundle small input blocks up to assign_batch_size
     # rows per task (fewer tiny tasks).  NEVER when the APRIL generator is

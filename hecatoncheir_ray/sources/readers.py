@@ -114,13 +114,28 @@ def read_wkt(paths, data_type: str | None = None):
                       if not f.startswith(".")]
         else:
             files.append(str(p))
-    files = sorted(dict.fromkeys(os.path.abspath(f) for f in files))
+    def _norm(path: str) -> str:
+        # read_binary_files may return scheme-stripped and/or absolute
+        # paths; abspath only applies to local paths (an s3://... key
+        # must NOT resolve against cwd)
+        had_scheme = "://" in path
+        p = path.split("://", 1)[-1]
+        return p if had_scheme else os.path.abspath(p)
+
+    files = sorted(dict.fromkeys(_norm(f) for f in files))
     rank = {f: i for i, f in enumerate(files)}
 
     def _rank_of(path: str) -> int:
-        # read_binary_files may return scheme-stripped/absolute paths
-        p = os.path.abspath(path.split("://", 1)[-1])
-        return rank[p]
+        p = _norm(path)
+        if p in rank:
+            return rank[p]
+        # object-store reads come back scheme-stripped ("bucket/key")
+        # while the rank key may be the original normalized form; fall
+        # back to suffix matching before failing
+        for k, i in rank.items():
+            if k.endswith(p) or p.endswith(k):
+                return i
+        raise KeyError(path)
 
     def parse(t: pa.Table) -> pa.Table:
         ids, gts, coords = [], [], []

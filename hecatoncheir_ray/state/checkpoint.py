@@ -121,12 +121,21 @@ def resumable_spatial_join(r_factory, s_factory, predicate: str, cfg,
 
     lineage = lineage or {}
     store = CheckpointStore(out_dir)
-    # detect hot cells ONCE for the whole job, not once per slice
-    hot = None
-    if cfg.auto_salt and cfg.dataspace is not None:
-        from ..pipelines.spatial_join import detect_hot_cells
-        hot = detect_hot_cells(r_factory(), s_factory(), cfg,
-                               cfg.make_grid())
+    # detect hot cells ONCE for the whole job, not once per slice — and
+    # LAZILY, so a fully-completed resume (every slice already done) never
+    # pays the detection pass over the inputs
+    hot_cache = []
+
+    def hot_cells():
+        if not hot_cache:
+            h = None
+            if cfg.auto_salt and cfg.dataspace is not None:
+                from ..pipelines.spatial_join import detect_hot_cells
+                h = detect_hot_cells(r_factory(), s_factory(), cfg,
+                                     cfg.make_grid())
+            hot_cache.append(h)
+        return hot_cache[0]
+
     fp = _fingerprint(predicate, cfg, num_slices, lineage)
     metrics = get_metrics_actor()
     run, skipped, total_rows = 0, 0, 0
@@ -141,7 +150,8 @@ def resumable_spatial_join(r_factory, s_factory, predicate: str, cfg,
         scope = f"{out_dir}:slice{k}"
         metrics.reset.remote(scope)
         pairs = spatial_join(r_factory(), s_factory(), predicate, cfg,
-                             hot_cells=hot, slice_id=(k, num_slices),
+                             hot_cells=hot_cells(),
+                             slice_id=(k, num_slices),
                              metrics_scope=scope)
         slice_dir = os.path.join(out_dir, f"slice={k}")
         # A crashed attempt leaves partial parquet files behind and
@@ -167,9 +177,13 @@ def resumable_spatial_join(r_factory, s_factory, predicate: str, cfg,
             "out_dir": out_dir}
 
 
-def read_join_output(out_dir: str):
+def read_join_output(out_dir: str, predicate: str = "intersects"):
     """Read back only slices whose manifest says 'done' (a crashed slice
-    may have partial parquet files on disk -- they must not be read)."""
+    may have partial parquet files on disk -- they must not be read).
+
+    ``predicate`` shapes the schema of the empty fallback (zero done
+    slices): a find_relation join's output carries a ``relation:int8``
+    column that downstream consumers select."""
     import ray.data as rd
     store = CheckpointStore(out_dir)
     files = []
@@ -184,6 +198,9 @@ def read_join_output(out_dir: str):
                       if f.endswith(".parquet")]
     if not files:
         import pyarrow as pa
-        return rd.from_arrow(pa.table({"r_id": pa.array([], pa.int64()),
-                                       "s_id": pa.array([], pa.int64())}))
+        cols = {"r_id": pa.array([], pa.int64()),
+                "s_id": pa.array([], pa.int64())}
+        if predicate == "find_relation":
+            cols["relation"] = pa.array([], pa.int8())
+        return rd.from_arrow(pa.table(cols))
     return rd.read_parquet(files)

@@ -168,13 +168,42 @@ def test_april_persist_roundtrip(ray_session, tmp_path):
     persist_april(rd.from_arrow(ts), d2, (0, 0, 100, 50), 8)
     r = load_april(d1)
     assert "april_all" in r.schema().names
-    cfg = EngineConfig(dataspace=(0, 0, 100, 50), ppd=8)
+    from hecatoncheir_ray.april import april_meta_of
+    assert april_meta_of(r) == {"bounds": [0.0, 0.0, 100.0, 50.0],
+                                "order": 8}
+    # april_n matches the persisted order -> the join REUSES the columns
+    cfg = EngineConfig(dataspace=(0, 0, 100, 50), ppd=8, april_n=8)
     got = sorted((x["r_id"], x["s_id"]) for x in
                  spatial_join(load_april(d1), load_april(d2),
                               "covered_by", cfg).take_all())
     exp = sorted((x["r_id"], x["s_id"]) for x in
                  spatial_join(rd.from_arrow(tr), rd.from_arrow(ts),
                               "covered_by", cfg).take_all())
+    assert got == exp
+
+
+def test_april_persist_mismatch_regenerates(ray_session, tmp_path):
+    """A persisted raster whose (bounds, order) disagree with the join's
+    cfg must be REGENERATED, not reused (ADVICE r2: mixing raster spaces
+    silently corrupts the interval filter)."""
+    import ray.data as rd
+    from hecatoncheir_ray import EngineConfig, spatial_join
+    from hecatoncheir_ray.april import load_april, persist_april
+    KW = dict(bounds=(0.0, 0.0, 100.0, 50.0), min_edge=2.0, max_edge=10.0,
+              min_v=4, max_v=10)
+    tr = table_layer("polygons", 60, seed=27, **KW)
+    ts = table_layer("polygons", 60, seed=28, **KW)
+    d1, d2 = str(tmp_path / "r8"), str(tmp_path / "s6")
+    persist_april(rd.from_arrow(tr), d1, (0, 0, 100, 50), 8)
+    # wrong order AND wrong bounds vs the join below
+    persist_april(rd.from_arrow(ts), d2, (0, 0, 50, 25), 6)
+    cfg = EngineConfig(dataspace=(0, 0, 100, 50), ppd=8, april_n=8)
+    got = sorted((x["r_id"], x["s_id"]) for x in
+                 spatial_join(load_april(d1), load_april(d2),
+                              "intersects", cfg).take_all())
+    exp = sorted((x["r_id"], x["s_id"]) for x in
+                 spatial_join(rd.from_arrow(tr), rd.from_arrow(ts),
+                              "intersects", cfg).take_all())
     assert got == exp
 
 

@@ -124,3 +124,16 @@ def test_crashed_slice_partials_not_double_counted(ray_session, tmp_path):
                  read_join_output(out).take_all())
     assert got == base                     # stale row wiped, no dupes
     assert s["rows"] == len(base)
+
+
+def test_empty_output_schema_matches_predicate(ray_session, tmp_path):
+    """Zero done slices: the empty fallback must still carry the
+    find_relation 'relation' column (ADVICE r2)."""
+    out = str(tmp_path / "nothing")
+    os.makedirs(out, exist_ok=True)
+    ds = read_join_output(out, predicate="find_relation")
+    assert ds.count() == 0
+    assert set(ds.schema().names) == {"r_id", "s_id", "relation"}
+    # selecting the relation column on an empty result must not raise
+    assert ds.select_columns(["relation"]).count() == 0
+    assert set(read_join_output(out).schema().names) == {"r_id", "s_id"}

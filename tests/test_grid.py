@@ -81,8 +81,8 @@ def test_auto_ppd_sizing():
     assert cfg.with_auto_ppd(100).ppd == 16            # clamp floor
     assert cfg.with_auto_ppd(64 * 128 * 128).ppd == 128
     assert cfg.with_auto_ppd(10 ** 12).ppd == 4096     # clamp ceiling
-    # reference nudge: ppd % workers == 1 after adjustment (or untouched
-    # when already == 1)
+    # reference nudge applied verbatim: ppd += (ppd % workers) + 1
+    # (parse.cpp:170-172; does NOT guarantee ppd % workers == 1)
     p = cfg.with_auto_ppd(64 * 128 * 128, workers=10).ppd
     assert p == 128 + (128 % 10) + 1                   # 137
     p2 = cfg.with_auto_ppd(64 * 128 * 128, workers=127).ppd
