@@ -159,6 +159,127 @@ def read_wkt(paths, data_type: str | None = None):
         .map_batches(parse, batch_size=1, batch_format="pyarrow")
 
 
+def read_wkt_split(paths, data_type: str | None = None,
+                   target_bytes: int = 64 << 20):
+    """Byte-range-split WKT reader (reference S5 mmap analog,
+    src/env/partitioning.cpp:606-748): one huge file no longer caps read
+    parallelism at one task.
+
+    Ids are IDENTICAL to ``read_wkt`` / ``load_wkt_table`` (file_rank *
+    FILE_ID_STRIDE + 0-based line number): a cheap prepass counts
+    newlines per chunk (vectorized ``bytes.count``), the driver
+    prefix-sums the counts (one tiny row per chunk), and the parse pass
+    reconstructs exact global line numbers from its chunk's prefix.
+
+    Chunk-boundary protocol: a line belongs to the chunk where it STARTS.
+    A task reads ``[start-1, end)`` — the lookback byte decides whether a
+    line starts exactly at ``start`` — skips the partial head line (it
+    started in the previous chunk), and extends past ``end`` to finish
+    its last line.  Files <= target_bytes skip the prepass entirely.
+    """
+    import os
+    import ray.data as rd
+    want = _NAME_TO_GTYPE.get(data_type) if data_type else None
+
+    if isinstance(paths, (str, os.PathLike)):
+        paths = [str(paths)]
+    files: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            files += [os.path.join(p, f) for f in sorted(os.listdir(p))
+                      if not f.startswith(".")]
+        else:
+            files.append(str(p))
+    files = sorted(dict.fromkeys(os.path.abspath(f) for f in files))
+
+    chunks = []            # (path, rank, start, end, chunk_idx_in_file)
+    per_file_nchunks = {}
+    for rank, f in enumerate(files):
+        size = os.path.getsize(f)
+        n = max(1, -(-size // target_bytes))
+        per_file_nchunks[rank] = n
+        step = -(-size // n)
+        for k in range(n):
+            chunks.append({"path": f, "rank": rank,
+                           "start": k * step,
+                           "end": min((k + 1) * step, size), "k": k})
+
+    # prepass: newline count per chunk, only for files that are split
+    split_chunks = [c for c in chunks if per_file_nchunks[c["rank"]] > 1]
+    base_lines = {(c["rank"], c["k"]): 0 for c in chunks}
+    if split_chunks:
+        def count_nl(t: pa.Table) -> pa.Table:
+            out = []
+            for row in t.to_pylist():
+                with open(row["path"], "rb") as fh:
+                    fh.seek(row["start"])
+                    out.append(fh.read(row["end"] - row["start"])
+                               .count(b"\n"))
+            return t.append_column("nl", pa.array(out, type=pa.int64()))
+
+        counted = (rd.from_items(split_chunks,
+                                 override_num_blocks=len(split_chunks))
+                   .map_batches(count_nl, batch_format="pyarrow")
+                   .take_all())
+        by_file: dict[int, dict[int, int]] = {}
+        for row in counted:
+            by_file.setdefault(row["rank"], {})[row["k"]] = row["nl"]
+        for rank, ks in by_file.items():
+            acc = 0
+            for k in sorted(ks):
+                base_lines[(rank, k)] = acc
+                acc += ks[k]
+
+    for c in chunks:
+        c["base_line"] = base_lines[(c["rank"], c["k"])]
+
+    def parse_chunk(t: pa.Table) -> pa.Table:
+        ids, gts, coords = [], [], []
+        for row in t.to_pylist():
+            path, s, e = row["path"], row["start"], row["end"]
+            lineno = row["base_line"]
+            with open(path, "rb") as fh:
+                lo = max(s - 1, 0)
+                fh.seek(lo)
+                buf = fh.read(e - lo)
+                # extend to complete the last line started before `end`
+                while not buf.endswith(b"\n"):
+                    ext = fh.read(1 << 16)
+                    if not ext:
+                        break
+                    nl = ext.find(b"\n")
+                    if nl >= 0:
+                        buf += ext[:nl + 1]
+                        break
+                    buf += ext
+                if s > 0:
+                    if buf[:1] == b"\n":
+                        buf = buf[1:]        # line starts exactly at s
+                    else:
+                        nl = buf.find(b"\n")
+                        if nl < 0:
+                            continue          # chunk is mid-line only
+                        buf = buf[nl + 1:]   # head belongs to prev chunk
+                        lineno += 1
+            base = row["rank"] * FILE_ID_STRIDE
+            for line in buf.decode("utf-8", "replace").splitlines():
+                this_line = lineno
+                lineno += 1
+                line = line.split("\t")[0].strip()
+                if not line:
+                    continue
+                g = parse_wkt(line)
+                if g is None or (want is not None and g[0] != want):
+                    continue
+                ids.append(base + this_line)
+                gts.append(g[0])
+                coords.append(np.asarray(g[1]))
+        return _geom_table(ids, gts, coords)
+
+    return (rd.from_items(chunks, override_num_blocks=len(chunks))
+            .map_batches(parse_chunk, batch_format="pyarrow"))
+
+
 def write_partitioned(ds, out_dir: str, grid=None):
     """Resumable sink (reference S6 partition-file writer analog): one
     parquet directory; pair with state.checkpoint for skip-if-done."""

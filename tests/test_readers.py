@@ -74,3 +74,57 @@ def test_read_wkt_join_parity_with_driver_load(ray_session, tmp_path):
     assert (sorted(map(tuple, got[key].to_numpy().tolist()))
             == sorted(map(tuple, ref[key].to_numpy().tolist())))
     assert len(ref) > 0
+
+
+def test_read_wkt_split_matches_driver_loader(ray_session, tmp_path):
+    """S5 analog: byte-range splits reproduce the driver loader's ids and
+    geometries exactly, across boundary placements (varied target_bytes),
+    blank lines, and junk rows."""
+    from hecatoncheir_ray.sources.readers import read_wkt_split
+    p = str(tmp_path / "big.wkt")
+    _write_wkt(p, 4000)
+    # sprinkle blank lines to shift boundaries onto empty lines too
+    with open(p) as f:
+        lines = f.read().splitlines()
+    lines[5] = ""
+    lines[100] = ""
+    with open(p, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    exp = load_wkt_table(p).to_pandas().sort_values("id") \
+                           .reset_index(drop=True)
+    import os
+    size = os.path.getsize(p)
+    for tb in (257, 1000, size // 7 + 3, size, size * 2):
+        got = read_wkt_split(p, target_bytes=tb).to_pandas() \
+            .sort_values("id").reset_index(drop=True)
+        assert got["id"].tolist() == exp["id"].tolist(), tb
+        for col in ("gtype", "minx", "miny", "maxx", "maxy"):
+            assert (got[col].values == exp[col].values).all(), (tb, col)
+
+
+def test_read_wkt_split_multi_file_mix(ray_session, tmp_path):
+    """One split file + one single-chunk file: ids disjoint by rank and
+    identical to read_wkt over the same paths."""
+    from hecatoncheir_ray.sources.readers import read_wkt_split
+    pa_ = str(tmp_path / "a.wkt")
+    pb = str(tmp_path / "b.wkt")
+    _write_wkt(pa_, 1500)
+    _write_wkt(pb, 40)
+    got = read_wkt_split([pa_, pb], target_bytes=2048).to_pandas()
+    ref = read_wkt([pa_, pb]).to_pandas()
+    assert sorted(got["id"]) == sorted(ref["id"])
+    ranks = set(got["id"] // FILE_ID_STRIDE)
+    assert ranks == {0, 1}
+
+
+def test_read_wkt_split_no_trailing_newline(ray_session, tmp_path):
+    from hecatoncheir_ray.sources.readers import read_wkt_split
+    p = str(tmp_path / "t.wkt")
+    _write_wkt(p, 200, skip_every=0)
+    with open(p) as f:
+        data = f.read().rstrip("\n")
+    with open(p, "w") as f:
+        f.write(data)
+    exp = load_wkt_table(p).to_pandas()
+    got = read_wkt_split(p, target_bytes=333).to_pandas()
+    assert sorted(got["id"]) == sorted(exp["id"])
