@@ -249,6 +249,25 @@ def _q_image_verify(sf_dir: str):
         make_verify_fn(42), batch_format="pyarrow", batch_size=64)
 
 
+def _q_audio_features(sf_dir: str):
+    """Audio table (real WAV/PCM16 via stdlib wave) -> per-row features
+    through an actor-pool stage (rows-only: WAV decode is not
+    SQL-expressible).  The lossless verify invariant rides along: any
+    pcm_ok/caption_ok failure raises, so a green run certifies the codec
+    path, not just the row count."""
+    from hecatoncheir_ray.sources.audio import (AudioFeatures,
+                                                make_audio_verify_fn,
+                                                ray_audio_table)
+    ds = ray_audio_table(400, seed=42)
+    bad = ds.map_batches(make_audio_verify_fn(42), batch_format="pyarrow",
+                         batch_size=128) \
+        .filter(lambda r: not (r["pcm_ok"] and r["caption_ok"]))
+    if bad.count() > 0:
+        raise AssertionError("audio verify invariant violated")
+    return ds.map_batches(AudioFeatures, concurrency=4,
+                          batch_format="pyarrow", batch_size=128)
+
+
 # --- training-data operators: text analysis / dedup / similarity search ----
 
 def _docs(sf_dir):
@@ -430,6 +449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_hist": _q_doc_lang_hist,
         "doc_top_tokens": _q_doc_top_tokens,
         "ann_topk_ivf_store": _q_ann_topk_ivf_store,
+        "audio_features": _q_audio_features,
     }
 
 

@@ -45,27 +45,14 @@ class JpegNotSupported(NotImplementedError):
 
 
 class AudioNotSupported(NotImplementedError):
-    """Audio decode stub (no codec libraries in this container)."""
+    """Compressed-audio decode stub (no codec libraries here).
+
+    WAV/PCM16 is fully supported — see :mod:`.audio` (stdlib ``wave``);
+    only mp3/aac/... raise this."""
 
 
 class VideoNotSupported(NotImplementedError):
     """Video decode stub (no codec libraries in this container)."""
-
-
-class DecodeAudio:
-    """Actor-pool stage stub for opaque audio binary columns: the schema
-    contract is (media_id:string, bytes:binary, sample_rate:int32,
-    fmt:string); decode raises until a codec library is available —
-    the Ray-side plumbing (batching, actor signature) is real."""
-
-    def __init__(self, skip_undecodable: bool = False):
-        self.skip = skip_undecodable
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        if self.skip or len(t) == 0:
-            return pa.table({"media_id": pa.array([], pa.string()),
-                             "samples": pa.array([], pa.list_(pa.float32()))})
-        raise AudioNotSupported("audio decode unavailable here")
 
 
 class SampleVideoFrames:

@@ -149,17 +149,27 @@ def test_geotag_and_tiling(ray_session):
 
 
 def test_audio_video_stubs():
+    """Compressed audio + video stay stubbed; corrupt wav raises unless
+    skipped (wav itself is real now — see test_audio.py)."""
+    from hecatoncheir_ray.sources.audio import DecodeAudio
     from hecatoncheir_ray.sources.images import (AudioNotSupported,
-                                                 DecodeAudio,
                                                  SampleVideoFrames,
                                                  VideoNotSupported)
-    t = pa.table({"media_id": pa.array(["m1"]),
-                  "bytes": pa.array([b"\x00\x01"], pa.binary()),
-                  "sample_rate": pa.array([16000], pa.int32()),
-                  "fmt": pa.array(["wav"])})
+    mp3 = pa.table({"media_id": pa.array(["m1"]),
+                    "bytes": pa.array([b"\x00\x01"], pa.binary()),
+                    "fmt": pa.array(["mp3"])})
     with pytest.raises(AudioNotSupported):
-        DecodeAudio()(t)
-    assert len(DecodeAudio(skip_undecodable=True)(t)) == 0
+        DecodeAudio()(mp3)
+    assert len(DecodeAudio(skip_undecodable=True)(mp3)) == 0
+    junk_wav = pa.table({"media_id": pa.array(["m2"]),
+                         "bytes": pa.array([b"\x00\x01"], pa.binary()),
+                         "fmt": pa.array(["wav"])})
+    with pytest.raises(Exception):
+        DecodeAudio()(junk_wav)
+    assert len(DecodeAudio(skip_undecodable=True)(junk_wav)) == 0
+    vid = pa.table({"media_id": pa.array(["m3"]),
+                    "bytes": pa.array([b"\x00\x01"], pa.binary()),
+                    "fmt": pa.array(["mkv"])})
     with pytest.raises(VideoNotSupported):
-        SampleVideoFrames()(t)
-    assert len(SampleVideoFrames(skip_undecodable=True)(t)) == 0
+        SampleVideoFrames()(vid)
+    assert len(SampleVideoFrames(skip_undecodable=True)(vid)) == 0
