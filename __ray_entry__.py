@@ -185,29 +185,35 @@ def _q_global_bounds(sf_dir: str):
     return pd.DataFrame([agg])
 
 
-# --- polygon/linestring pipelines (no SQL oracle; tests/ hold the brute-
-# force parity oracle, FIXTURES.md §4) ---------------------------------------
+# --- polygon/linestring pipelines -------------------------------------------
+# Layers are derived corner-cut octagons / x-monotone polylines
+# (sources/derive.py): hashed coordinates put them in generic position, the
+# regime where convex intersect / containment / crossing is exactly
+# expressible in plain SQL — so even the polygon joins get bit-exact DuckDB
+# oracles (edge-cross + first-vertex-in; see oracle_sql).  tests/ keep the
+# brute-force parity oracle on irregular synth layers (FIXTURES.md §4).
 
 def _q_poly_join_pairs(sf_dir: str):
     from hecatoncheir_ray import spatial_join
-    r = ray_layer("polygons", 3000, seed=1, **_POLY_KW)
-    s = ray_layer("polygons", 3000, seed=2, **_POLY_KW)
-    return spatial_join(r, s, "intersects", _cfg())
+    return spatial_join(derive.ray_octagons_orders(sf_dir),
+                        derive.ray_octagons_part(sf_dir),
+                        "intersects", _cfg())
 
 
 def _q_poly_find_relation_counts(sf_dir: str):
     from hecatoncheir_ray import spatial_join
     from hecatoncheir_ray.pipelines.spatial_join import relation_histogram
-    r = ray_layer("polygons", 3000, seed=1, **_POLY_KW)
-    s = ray_layer("polygons", 3000, seed=2, **_POLY_KW)
-    return relation_histogram(spatial_join(r, s, "find_relation", _cfg()))
+    rel = spatial_join(derive.ray_octagons_orders(sf_dir),
+                       derive.ray_octagons_part(sf_dir),
+                       "find_relation", _cfg())
+    return relation_histogram(rel)
 
 
 def _q_poly_line_join_pairs(sf_dir: str):
     from hecatoncheir_ray import spatial_join
-    p = ray_layer("polygons", 2000, seed=3, **_POLY_KW)
-    ln = ray_layer("linestrings", 2000, seed=4, min_v=2, max_v=12, step=0.2)
-    return spatial_join(p, ln, "intersects", _cfg())
+    return spatial_join(derive.ray_octagons_part(sf_dir),
+                        derive.ray_lines_events(sf_dir),
+                        "intersects", _cfg())
 
 
 # --- tiling (north rule: raster<->vector tile assignment) -------------------
@@ -457,6 +463,97 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # oracle SQL
 # ---------------------------------------------------------------------------
 
+_ORIENT = ("(({qx}) - ({px})) * (({ry}) - ({py})) "
+           "- (({qy}) - ({py})) * (({rx}) - ({px}))")
+
+
+def _orient(px, py, qx, qy, rx, ry) -> str:
+    """Signed area orientation of (P, Q, R) — the SQL twin of the kernel's
+    cross-product test (generic position: never exactly 0 across layers)."""
+    return _ORIENT.format(px=px, py=py, qx=qx, qy=qy, rx=rx, ry=ry)
+
+
+def _convex_pair_ctes(r_box: str, r_salt: int, s_box: str, s_salt: int) -> str:
+    """Shared CTE prologue for the convex-octagon join oracles.
+
+    Yields cand (MBR-overlap candidate pairs — identical to the engine's
+    grid candidates after reference-point dedup), crossed (some edge pair
+    properly crosses), r_in / s_in (first vertex of one strictly inside the
+    other; with no boundary crossing this is full containment, convexity +
+    generic position).  See stages/sweep.py refine_mask / classify_relations
+    for the kernel this mirrors."""
+    rv = derive.sql_octagon_vertices(r_box, "id", r_salt)
+    sv = derive.sql_octagon_vertices(s_box, "id", s_salt)
+    o1 = _orient("re.sx", "re.sy", "re.ex", "re.ey", "se.sx", "se.sy")
+    o2 = _orient("re.sx", "re.sy", "re.ex", "re.ey", "se.ex", "se.ey")
+    o3 = _orient("se.sx", "se.sy", "se.ex", "se.ey", "re.sx", "re.sy")
+    o4 = _orient("se.sx", "se.sy", "se.ex", "se.ey", "re.ex", "re.ey")
+    in_s = _orient("se.sx", "se.sy", "se.ex", "se.ey", "p.x", "p.y")
+    in_r = _orient("re.sx", "re.sy", "re.ex", "re.ey", "p.x", "p.y")
+    return f"""
+        rb AS ({r_box}), sb AS ({s_box}),
+        rv AS ({rv}), sv AS ({sv}),
+        re AS (SELECT a.id, a.x AS sx, a.y AS sy, b.x AS ex, b.y AS ey
+               FROM rv a JOIN rv b ON b.id = a.id AND b.i = (a.i % 8) + 1),
+        se AS (SELECT a.id, a.x AS sx, a.y AS sy, b.x AS ex, b.y AS ey
+               FROM sv a JOIN sv b ON b.id = a.id AND b.i = (a.i % 8) + 1),
+        cand AS (SELECT r.id AS r_id, s.id AS s_id FROM rb r, sb s
+                 WHERE r.minx <= s.maxx AND s.minx <= r.maxx
+                   AND r.miny <= s.maxy AND s.miny <= r.maxy),
+        crossed AS (
+            SELECT c.r_id, c.s_id FROM cand c
+            JOIN re ON re.id = c.r_id JOIN se ON se.id = c.s_id
+            WHERE ({o1}) * ({o2}) < 0 AND ({o3}) * ({o4}) < 0
+            GROUP BY c.r_id, c.s_id),
+        r_in AS (
+            SELECT c.r_id, c.s_id FROM cand c
+            JOIN rv p ON p.id = c.r_id AND p.i = 1
+            JOIN se ON se.id = c.s_id
+            GROUP BY c.r_id, c.s_id HAVING BOOL_AND(({in_s}) > 0)),
+        s_in AS (
+            SELECT c.r_id, c.s_id FROM cand c
+            JOIN sv p ON p.id = c.s_id AND p.i = 1
+            JOIN re ON re.id = c.r_id
+            GROUP BY c.r_id, c.s_id HAVING BOOL_AND(({in_r}) > 0))"""
+
+
+def _poly_line_oracle() -> str:
+    """Octagons (part) x polylines (events): intersect pairs in plain SQL
+    (proper segment crossing OR line vertex 1 strictly inside — the
+    refine_mask line_mix stage in generic position)."""
+    pb = derive.sql_boxes_part_oct()
+    pv = derive.sql_octagon_vertices(pb, "id", derive.PART_SALT)
+    lv = derive.sql_line_vertices()
+    o1 = _orient("re.sx", "re.sy", "re.ex", "re.ey", "le.sx", "le.sy")
+    o2 = _orient("re.sx", "re.sy", "re.ex", "re.ey", "le.ex", "le.ey")
+    o3 = _orient("le.sx", "le.sy", "le.ex", "le.ey", "re.sx", "re.sy")
+    o4 = _orient("le.sx", "le.sy", "le.ex", "le.ey", "re.ex", "re.ey")
+    in_r = _orient("re.sx", "re.sy", "re.ex", "re.ey", "p.x", "p.y")
+    return f"""
+        WITH pb AS ({pb}), pv AS ({pv}), lv AS ({lv}),
+        lm AS (SELECT id, MIN(x) AS minx, MIN(y) AS miny,
+                      MAX(x) AS maxx, MAX(y) AS maxy FROM lv GROUP BY id),
+        re AS (SELECT a.id, a.x AS sx, a.y AS sy, b.x AS ex, b.y AS ey
+               FROM pv a JOIN pv b ON b.id = a.id AND b.i = (a.i % 8) + 1),
+        le AS (SELECT a.id, a.x AS sx, a.y AS sy, b.x AS ex, b.y AS ey
+               FROM lv a JOIN lv b ON b.id = a.id AND b.i = a.i + 1),
+        cand AS (SELECT r.id AS r_id, s.id AS s_id FROM pb r, lm s
+                 WHERE r.minx <= s.maxx AND s.minx <= r.maxx
+                   AND r.miny <= s.maxy AND s.miny <= r.maxy),
+        crossed AS (
+            SELECT c.r_id, c.s_id FROM cand c
+            JOIN re ON re.id = c.r_id JOIN le ON le.id = c.s_id
+            WHERE ({o1}) * ({o2}) < 0 AND ({o3}) * ({o4}) < 0
+            GROUP BY c.r_id, c.s_id),
+        v1_in AS (
+            SELECT c.r_id, c.s_id FROM cand c
+            JOIN lv p ON p.id = c.s_id AND p.i = 1
+            JOIN re ON re.id = c.r_id
+            GROUP BY c.r_id, c.s_id HAVING BOOL_AND(({in_r}) > 0))
+        SELECT r_id, s_id FROM crossed
+        UNION SELECT r_id, s_id FROM v1_in"""
+
+
 def oracle_sql() -> dict[str, str]:
     pts = derive.sql_points_events()
     bo = derive.sql_boxes_orders()
@@ -552,6 +649,29 @@ def oracle_sql() -> dict[str, str]:
             WITH p AS ({pts})
             SELECT {_tile_sql()} AS tile_id, COUNT(*) AS n FROM p
             GROUP BY 1""",
+        "poly_join_pairs": f"""
+            WITH {_convex_pair_ctes(bo, derive.ORDERS_SALT,
+                                    derive.sql_boxes_part_oct(),
+                                    derive.PART_SALT)}
+            SELECT r_id, s_id FROM crossed
+            UNION SELECT r_id, s_id FROM r_in
+            UNION SELECT r_id, s_id FROM s_in""",
+        "poly_find_relation_counts": f"""
+            WITH {_convex_pair_ctes(bo, derive.ORDERS_SALT,
+                                    derive.sql_boxes_part_oct(),
+                                    derive.PART_SALT)}
+            SELECT CASE
+                WHEN x.r_id IS NOT NULL THEN 'intersect'
+                WHEN a.r_id IS NOT NULL THEN 'inside'
+                WHEN b.r_id IS NOT NULL THEN 'contains'
+                ELSE 'disjoint' END AS relation_name,
+                COUNT(*) AS pair_count
+            FROM cand c
+            LEFT JOIN crossed x ON x.r_id = c.r_id AND x.s_id = c.s_id
+            LEFT JOIN r_in a ON a.r_id = c.r_id AND a.s_id = c.s_id
+            LEFT JOIN s_in b ON b.r_id = c.r_id AND b.s_id = c.s_id
+            GROUP BY 1""",
+        "poly_line_join_pairs": _poly_line_oracle(),
         "doc_stats": _text.text_stats_sql(),
         "doc_lang_id": _text.lang_id_sql(),
         "doc_fingerprints": _text.FINGERPRINTS_SQL,
