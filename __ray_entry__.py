@@ -274,6 +274,26 @@ def _q_audio_features(sf_dir: str):
                           batch_format="pyarrow", batch_size=128)
 
 
+def _q_video_frame_sample(sf_dir: str):
+    """Video table (real HECV container: seekable index + PNG frames) ->
+    sampled-frame rows via an actor-pool stage (rows-only: frame synthesis
+    is not SQL-expressible).  The lossless verify invariant rides along:
+    every sampled frame must decode bit-equal to its re-synthesized
+    source, so a green run certifies the codec + seek path."""
+    from hecatoncheir_ray.sources.video import (SampleVideoFrames,
+                                                make_video_verify_fn,
+                                                ray_video_table)
+    ds = ray_video_table(200, seed=42)
+    bad = ds.map_batches(make_video_verify_fn(42), batch_format="pyarrow",
+                         batch_size=64) \
+        .filter(lambda r: not (r["frames_ok"] and r["caption_ok"]))
+    if bad.count() > 0:
+        raise AssertionError("video verify invariant violated")
+    return ds.map_batches(SampleVideoFrames, concurrency=4,
+                          batch_format="pyarrow", batch_size=64) \
+        .select_columns(["media_id", "frame_idx", "t_us", "w", "h"])
+
+
 # --- training-data operators: text analysis / dedup / similarity search ----
 
 def _docs(sf_dir):
@@ -456,6 +476,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_tokens": _q_doc_top_tokens,
         "ann_topk_ivf_store": _q_ann_topk_ivf_store,
         "audio_features": _q_audio_features,
+        "video_frame_sample": _q_video_frame_sample,
     }
 
 

@@ -2,9 +2,11 @@
 
 The reference has no streaming features (SURVEY §2.9); this is the
 training-pipeline-shaped extension per the Ray guide's streaming-batch
-pattern: the events log is treated as an ordered, partitioned stream and
-tumbling windows become a per-batch partial aggregation + tiny final merge
-(no shuffle — the result is (windows x types) rows).
+pattern: the events log is treated as an ordered, partitioned stream;
+tumbling windows become a per-batch partial aggregation followed by a
+shuffle-side groupby-Sum over the already-collapsed (window x type)
+partials — the driver only ever sees the final result rows, so the
+pattern holds at any timespan x cardinality.
 
 Integer arithmetic throughout for bit-exact SQL parity:
 window_id = floor(epoch_us / window_us); values summed as
@@ -20,6 +22,20 @@ import pyarrow as pa
 from ray.data import Dataset
 
 HOUR_US = 3_600_000_000
+
+
+def _merge_partials(parts: Dataset) -> pd.DataFrame:
+    """(window_id, event_type, n, value_milli) partials -> final sums via a
+    Ray groupby aggregate (shuffle-side, integer-exact Sum), driver-side
+    only the final (windows x types) rows."""
+    from ray.data.aggregate import Sum
+    out = parts.groupby(["window_id", "event_type"]).aggregate(
+        Sum("n", alias_name="n"),
+        Sum("value_milli", alias_name="value_milli")).to_pandas()
+    for c in ("window_id", "n", "value_milli"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["window_id", "event_type"]) \
+        .reset_index(drop=True)
 
 
 def tumbling_window_agg(events: Dataset,
@@ -40,14 +56,8 @@ def tumbling_window_agg(events: Dataset,
         return pa.Table.from_pandas(g, preserve_index=False)
 
     parts = events.select_columns(["ts", "event_type", "value"]) \
-        .map_batches(partial, batch_format="pyarrow").to_pandas()
-    out = parts.groupby(["window_id", "event_type"], as_index=False).agg(
-        n=("n", "sum"), value_milli=("value_milli", "sum"))
-    out["window_id"] = out["window_id"].astype(np.int64)
-    out["n"] = out["n"].astype(np.int64)
-    out["value_milli"] = out["value_milli"].astype(np.int64)
-    return out.sort_values(["window_id", "event_type"]) \
-        .reset_index(drop=True)
+        .map_batches(partial, batch_format="pyarrow")
+    return _merge_partials(parts)
 
 
 def hopping_window_agg(events: Dataset, window_us: int = HOUR_US,
@@ -56,8 +66,8 @@ def hopping_window_agg(events: Dataset, window_us: int = HOUR_US,
 
     Each event explodes into the window/hop windows containing it inside
     the per-batch partial (np.repeat — no extra dataset pass), then the
-    tiny (windows x types) partials merge on the driver.  Integer
-    arithmetic matches the SQL twin exactly.
+    (windows x types) partials merge in a shuffle-side groupby Sum.
+    Integer arithmetic matches the SQL twin exactly.
     """
     import pyarrow as pa
 
@@ -80,13 +90,8 @@ def hopping_window_agg(events: Dataset, window_us: int = HOUR_US,
         return pa.Table.from_pandas(g, preserve_index=False)
 
     parts = events.select_columns(["ts", "event_type", "value"]) \
-        .map_batches(partial, batch_format="pyarrow").to_pandas()
-    out = parts.groupby(["window_id", "event_type"], as_index=False).agg(
-        n=("n", "sum"), value_milli=("value_milli", "sum"))
-    for c in ("window_id", "n", "value_milli"):
-        out[c] = out[c].astype(np.int64)
-    return out.sort_values(["window_id", "event_type"]) \
-        .reset_index(drop=True)
+        .map_batches(partial, batch_format="pyarrow")
+    return _merge_partials(parts)
 
 
 def hopping_window_agg_sql(window_us: int = HOUR_US,

@@ -52,23 +52,10 @@ class AudioNotSupported(NotImplementedError):
 
 
 class VideoNotSupported(NotImplementedError):
-    """Video decode stub (no codec libraries in this container)."""
+    """Compressed-video decode stub (no codec libraries here).
 
-
-class SampleVideoFrames:
-    """Actor-pool stage stub: frame-sampling over opaque video bytes
-    (media_id, bytes, fps:int32, fmt) -> one row per sampled frame."""
-
-    def __init__(self, every_n: int = 30, skip_undecodable: bool = False):
-        self.every_n = every_n
-        self.skip = skip_undecodable
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        if self.skip or len(t) == 0:
-            return pa.table({"media_id": pa.array([], pa.string()),
-                             "frame_idx": pa.array([], pa.int32()),
-                             "bytes": pa.array([], pa.binary())})
-        raise VideoNotSupported("video decode unavailable here")
+    The HECV multi-frame container is fully supported — see :mod:`.video`
+    (seekable index + PNG frames); only mp4/webm/... raise this."""
 
 
 # ---------------------------------------------------------------------------

@@ -153,8 +153,8 @@ def test_audio_video_stubs():
     skipped (wav itself is real now — see test_audio.py)."""
     from hecatoncheir_ray.sources.audio import DecodeAudio
     from hecatoncheir_ray.sources.images import (AudioNotSupported,
-                                                 SampleVideoFrames,
                                                  VideoNotSupported)
+    from hecatoncheir_ray.sources.video import SampleVideoFrames
     mp3 = pa.table({"media_id": pa.array(["m1"]),
                     "bytes": pa.array([b"\x00\x01"], pa.binary()),
                     "fmt": pa.array(["mp3"])})
