@@ -239,6 +239,17 @@ def _q_tile_counts_points(sf_dir: str):
         _tile_grid())
 
 
+_PYRAMID_ZOOM = 8
+
+
+def _q_tile_pyramid_counts(sf_dir: str):
+    """Hierarchical quadkey pyramid (H3/S2-style Z-order index): per-tile
+    point counts at every zoom 0..8 in one pass + one shuffle."""
+    from hecatoncheir_ray.pipelines.tiling import pyramid_counts
+    return pyramid_counts(derive.ray_points_events(sf_dir),
+                          TIGER_US_BOUNDS, _PYRAMID_ZOOM)
+
+
 def _q_image_tile_assignments(sf_dir: str):
     """Image table -> tile per image via deterministic geotag (rows-only:
     image synthesis is not SQL-expressible)."""
@@ -456,6 +467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "poly_line_join_pairs": _q_poly_line_join_pairs,
         "tile_assignment_points": _q_tile_assignment_points,
         "tile_counts_points": _q_tile_counts_points,
+        "tile_pyramid_counts": _q_tile_pyramid_counts,
         "image_tile_assignments": _q_image_tile_assignments,
         "image_verify": _q_image_verify,
         "doc_stats": _q_doc_stats,
@@ -670,6 +682,7 @@ def oracle_sql() -> dict[str, str]:
             WITH p AS ({pts})
             SELECT {_tile_sql()} AS tile_id, COUNT(*) AS n FROM p
             GROUP BY 1""",
+        "tile_pyramid_counts": _pyramid_sql(),
         "poly_join_pairs": f"""
             WITH {_convex_pair_ctes(bo, derive.ORDERS_SALT,
                                     derive.sql_boxes_part_oct(),
@@ -713,6 +726,13 @@ def oracle_sql() -> dict[str, str]:
                           + _text.lang_id_sql() + ") GROUP BY 1"),
         "doc_top_tokens": _text.top_tokens_sql(20),
     }
+
+
+def _pyramid_sql() -> str:
+    from hecatoncheir_ray.pipelines.tiling import pyramid_counts_sql
+    px, py = derive.points_sql("event_id")
+    return pyramid_counts_sql(px, py, "FROM events", TIGER_US_BOUNDS,
+                              _PYRAMID_ZOOM)
 
 
 def _tile_sql() -> str:

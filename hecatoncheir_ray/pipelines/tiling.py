@@ -78,6 +78,94 @@ def tile_counts(assignments: Dataset, grid: GridSpec):
     return pd.DataFrame({"tile_id": nz.astype(np.int64), "n": total[nz]})
 
 
+# ---------------------------------------------------------------------------
+# hierarchical tile pyramid (quadkey / Z-order — the H3/S2-style index)
+# ---------------------------------------------------------------------------
+# Bing-maps-style quadkeys over the dataspace: at zoom z the space is a
+# 2^z x 2^z grid and a tile's key is the bit-interleave of (tx, ty); the
+# key at zoom z-1 is the child key >> 2, so every coarser level derives
+# from the max-zoom key by *integer shifts only*.  Float arithmetic
+# touches exactly one expression (the max-zoom cell computation), written
+# identically in numpy and SQL -> the whole pyramid is bit-exact
+# SQL-checkable.  Public pattern: Bing tile system / Z-order curves.
+
+
+def quadkey(x: np.ndarray, y: np.ndarray, bounds, zoom: int) -> np.ndarray:
+    """Vectorized point -> zoom-level quadkey (int64 Z-order interleave)."""
+    x0, y0, x1, y1 = bounds
+    p = 1 << zoom
+    tx = np.clip(np.floor((x - x0) / (x1 - x0) * p).astype(np.int64),
+                 0, p - 1)
+    ty = np.clip(np.floor((y - y0) / (y1 - y0) * p).astype(np.int64),
+                 0, p - 1)
+    qk = np.zeros(len(tx), dtype=np.int64)
+    for b in range(zoom):
+        qk |= ((tx >> b) & 1) << (2 * b)
+        qk |= ((ty >> b) & 1) << (2 * b + 1)
+    return qk
+
+
+def quadkey_sql(x: str, y: str, bounds, zoom: int) -> str:
+    """The SQL twin of :func:`quadkey` (same op order, same clamps)."""
+    x0, y0, x1, y1 = bounds
+    p = 1 << zoom
+    tx = (f"LEAST(GREATEST(CAST(FLOOR((({x}) - ({x0!r})) / {x1 - x0!r} "
+          f"* {p}) AS BIGINT), 0), {p - 1})")
+    ty = (f"LEAST(GREATEST(CAST(FLOOR((({y}) - ({y0!r})) / {y1 - y0!r} "
+          f"* {p}) AS BIGINT), 0), {p - 1})")
+    terms = []
+    for b in range(zoom):
+        terms.append(f"(((tx >> {b}) & 1) << {2 * b})")
+        terms.append(f"(((ty >> {b}) & 1) << {2 * b + 1})")
+    return (f"(SELECT {' | '.join(terms)} "
+            f"FROM (SELECT {tx} AS tx, {ty} AS ty))")
+
+
+def pyramid_counts(points: Dataset, bounds, max_zoom: int) -> Dataset:
+    """Point geometry table -> (zoom, qk, n) for every zoom 0..max_zoom.
+
+    One pass: each batch computes max-zoom quadkeys, collapses them to
+    per-batch (qk, count) partials, derives every coarser level by
+    ``qk >> 2`` (integers only), and a single shuffle-side groupby-Sum
+    merges partials — the driver never sees per-point rows."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        qk = quadkey(t["minx"].to_numpy(zero_copy_only=False),
+                     t["miny"].to_numpy(zero_copy_only=False),
+                     bounds, max_zoom)
+        uq, cnt = np.unique(qk, return_counts=True)
+        zs, qs, ns = [], [], []
+        for z in range(max_zoom, -1, -1):
+            zs.append(np.full(len(uq), z, dtype=np.int64))
+            qs.append(uq)
+            ns.append(cnt)
+            if z:    # collapse children into parents for the next level
+                parent = uq >> 2
+                uq, inv = np.unique(parent, return_inverse=True)
+                cnt = np.bincount(inv, weights=cnt).astype(np.int64)
+        return pa.table({"zoom": pa.array(np.concatenate(zs)),
+                         "qk": pa.array(np.concatenate(qs)),
+                         "n": pa.array(np.concatenate(ns))})
+
+    return points.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["zoom", "qk"]).aggregate(Sum("n", alias_name="n"))
+
+
+def pyramid_counts_sql(x: str, y: str, from_clause: str, bounds,
+                       max_zoom: int) -> str:
+    """DuckDB twin of :func:`pyramid_counts`: max-zoom quadkey once, then
+    shift per zoom level via generate_series."""
+    qk = quadkey_sql(x, y, bounds, max_zoom)
+    return f"""
+        WITH q AS (SELECT {qk} AS qk {from_clause}),
+        z AS (SELECT unnest(generate_series(0, {max_zoom})) AS zoom)
+        SELECT z.zoom AS zoom,
+               q.qk >> (2 * ({max_zoom} - z.zoom)) AS qk,
+               COUNT(*) AS n
+        FROM q CROSS JOIN z GROUP BY 1, 2"""
+
+
 def image_tile_assignments(images: Dataset, grid: GridSpec,
                            seed: int = 42) -> Dataset:
     """Image table -> (image_id, tile_id) via the deterministic geotag."""
