@@ -281,7 +281,10 @@ def _q_audio_features(sf_dir: str):
         .filter(lambda r: not (r["pcm_ok"] and r["caption_ok"]))
     if bad.count() > 0:
         raise AssertionError("audio verify invariant violated")
-    return ds.map_batches(AudioFeatures, concurrency=4,
+    # concurrency=(1,2): leave CPUs for the producer stage even in a
+    # 4-CPU test session (a fixed pool the size of the whole node can
+    # starve upstream tasks and deadlock the pipeline)
+    return ds.map_batches(AudioFeatures, concurrency=(1, 2),
                           batch_format="pyarrow", batch_size=128)
 
 
@@ -300,7 +303,7 @@ def _q_video_frame_sample(sf_dir: str):
         .filter(lambda r: not (r["frames_ok"] and r["caption_ok"]))
     if bad.count() > 0:
         raise AssertionError("video verify invariant violated")
-    return ds.map_batches(SampleVideoFrames, concurrency=4,
+    return ds.map_batches(SampleVideoFrames, concurrency=(1, 2),
                           batch_format="pyarrow", batch_size=64) \
         .select_columns(["media_id", "frame_idx", "t_us", "w", "h"])
 
