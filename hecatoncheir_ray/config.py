@@ -75,6 +75,13 @@ class EngineConfig:
     # sub-cells partition the cell)
     hot_cell_rows: int = 4096
     salt_factor: int = 4                  # hot cells split salt_factor^2 ways
+    # "split": refine hot cells into salt_factor^2 geometric sub-cells
+    # (adaptive cell splitting — rows go only to sub-cells they overlap).
+    # "salt": hash-salt hot cells into salt_factor x salt_factor buckets
+    # (R by hash row, S by hash column, each replicated salt_factor times)
+    # — caps group size even under degenerate identical-MBR stacking,
+    # where geometric splitting cannot separate anything.
+    skew_strategy: str = "split"
     # detect hot cells automatically before the join (one extra streaming
     # pass over the MBR columns) and salt them -- default ON so a skewed
     # dataset cannot serialize one shuffle group; benches on known-uniform

@@ -97,6 +97,59 @@ def _salt_key(grid: GridSpec, cell, sub, f: int):
     return grid.ppd * grid.ppd + cell * (f * f) + sub
 
 
+_H_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _hash_ids(ids: np.ndarray) -> np.ndarray:
+    """splitmix64-style id hash for salt-bucket selection (int64 out)."""
+    with np.errstate(over="ignore"):
+        x = (ids.astype(np.uint64)
+             + np.uint64(0x9E3779B97F4A7C15)) & _H_MASK
+        x = ((x ^ (x >> np.uint64(30)))
+             * np.uint64(0xBF58476D1CE4E5B9)) & _H_MASK
+        x = ((x ^ (x >> np.uint64(27)))
+             * np.uint64(0x94D049BB133111EB)) & _H_MASK
+        x = x ^ (x >> np.uint64(31))
+    return (x >> np.uint64(1)).astype(np.int64)
+
+
+def explode_cells_hash_salted(grid: GridSpec, minx, miny, maxx, maxy,
+                              ids: np.ndarray, side: int,
+                              hot_cells: np.ndarray | None, f: int):
+    """Hash-salting skew strategy (the north rule's *salting* leg; the
+    geometric :func:`explode_cells_salted` is its *adaptive cell
+    splitting* leg).
+
+    A hot cell becomes an f x f bucket grid: R rows (side 0) land in the
+    bucket ROW ``hash(id) % f`` (replicated across all f columns), S rows
+    (side 1) in the bucket COLUMN ``hash(id) % f`` (replicated across all
+    f rows).  Any (r, s) pair co-occurs in exactly ONE bucket
+    ``(h_r % f, h_s % f)`` — exactly-once without any geometric test, so
+    it caps group size even when every row has an IDENTICAL MBR
+    (degenerate stacking, where sub-cell splitting cannot separate
+    anything).  Cost: f replicas per hot-cell row on both sides; group
+    size drops to |R|/f + |S|/f.
+    """
+    row_idx, cell = explode_cells(grid, minx, miny, maxx, maxy)
+    if hot_cells is None or len(hot_cells) == 0:
+        return row_idx, cell
+    hot = _is_hot(cell, hot_cells)
+    if not hot.any():
+        return row_idx, cell
+    keep_rows, keep_cells = row_idx[~hot], cell[~hot]
+    hrow, hcell = row_idx[hot], cell[hot]
+    h = _hash_ids(np.asarray(ids)[hrow]) % f
+    rep = np.repeat(np.arange(len(hrow), dtype=np.int64), f)
+    other = np.tile(np.arange(f, dtype=np.int64), len(hrow))
+    if side == 0:
+        sub = h[rep] * f + other          # fixed row, all columns
+    else:
+        sub = other * f + h[rep]          # all rows, fixed column
+    salted = _salt_key(grid, hcell[rep], sub, f)
+    return (np.concatenate([keep_rows, hrow[rep]]),
+            np.concatenate([keep_cells, salted]))
+
+
 def _is_hot(cell, hot_cells: np.ndarray):
     """Membership of cell ids in the sorted hot_cells array (vectorized)."""
     pos = np.searchsorted(hot_cells, cell)

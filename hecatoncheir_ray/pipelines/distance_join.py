@@ -92,10 +92,12 @@ def distance_join(r: Dataset, s: Dataset, d: float,
     grid = cfg.make_grid(bounds)
     r2 = r.select_columns(GEOM_COLS).map_batches(
         make_assign_fn(grid, 0, hot_cells, cfg.salt_factor, eps=d,
+                       skew_strategy=cfg.skew_strategy,
                        shuffle_parts=cfg.shuffle_parts),
         batch_format="pyarrow", batch_size=cfg.assign_batch_size)
     s2 = s.select_columns(GEOM_COLS).map_batches(
         make_assign_fn(grid, 1, hot_cells, cfg.salt_factor,
+                       skew_strategy=cfg.skew_strategy,
                        shuffle_parts=cfg.shuffle_parts),
         batch_format="pyarrow", batch_size=cfg.assign_batch_size)
     both = r2.union(s2)

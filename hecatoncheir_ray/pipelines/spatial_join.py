@@ -152,11 +152,13 @@ def spatial_join(r: Dataset, s: Dataset, predicate: str = "intersects",
     bs = None if cfg.intermediate_filter else cfg.assign_batch_size
     r2 = r2.map_batches(
         make_assign_fn(grid, 0, hot_cells, cfg.salt_factor,
+                       skew_strategy=cfg.skew_strategy,
                        keep_cols=keep_cols,
                        shuffle_parts=cfg.shuffle_parts),
         batch_format="pyarrow", batch_size=bs)
     s2 = s2.map_batches(
         make_assign_fn(grid, 1, hot_cells, cfg.salt_factor,
+                       skew_strategy=cfg.skew_strategy,
                        keep_cols=keep_cols,
                        shuffle_parts=cfg.shuffle_parts),
         batch_format="pyarrow", batch_size=bs)

@@ -19,7 +19,8 @@ import numpy as np
 import pyarrow as pa
 
 from ..config import GridSpec
-from ..grid import explode_cells, explode_cells_salted
+from ..grid import (explode_cells, explode_cells_hash_salted,
+                    explode_cells_salted)
 
 GEOM_COLS = ["id", "gtype", "coords", "minx", "miny", "maxx", "maxy"]
 
@@ -37,7 +38,8 @@ def make_assign_fn(grid: GridSpec, side: int,
                    salt_factor: int = 4,
                    eps: float = 0.0,
                    keep_cols: list[str] | None = None,
-                   shuffle_parts: int = 256):
+                   shuffle_parts: int = 256,
+                   skew_strategy: str = "split"):
     """Build the map_batches fn.  ``side``: 0 = R, 1 = S.  ``eps`` dilates
     MBRs before assignment (distance join, SURVEY §3 EP3 — replaces the
     reference's 3-phase MPI border exchange).  Emits ``cell_id`` (fine grid
@@ -65,6 +67,11 @@ def make_assign_fn(grid: GridSpec, side: int,
             batch = batch.append_column("maxy", pa.array(maxy))
         if hot is None:
             rows, cells = explode_cells(grid, minx, miny, maxx, maxy)
+        elif skew_strategy == "salt":
+            rows, cells = explode_cells_hash_salted(
+                grid, minx, miny, maxx, maxy,
+                batch["id"].to_numpy(zero_copy_only=False), side,
+                hot, salt_factor)
         else:
             rows, cells = explode_cells_salted(grid, minx, miny, maxx, maxy,
                                                hot, salt_factor)

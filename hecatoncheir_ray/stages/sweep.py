@@ -36,7 +36,7 @@ from ..geometry.fast import eval_predicate
 from ..geometry.predicates import (_ON_EPS, MBR_CROSS, MBR_INTERSECT,
                                    TR_DISJOINT, TR_INTERSECT, find_relation,
                                    points_in_ring, relate_mbrs_batch)
-from ..grid import ref_point_key
+from ..grid import point_cell, ref_point_key
 from .assign import geoms_from_table
 
 PAIR_SCHEMA = pa.schema([("r_id", pa.int64()), ("s_id", pa.int64())])
@@ -93,8 +93,17 @@ def generate_candidates(t: pa.Table, geo, grid: GridSpec, hot_cells,
                 ri = ri + lo
                 rx = np.maximum(rm0[ri], sm0[si])
                 ry = np.maximum(rm1[ri], sm1[si])
-                keep = ref_point_key(grid, rx, ry, hot_cells,
-                                     cfg.salt_factor) == cell_key
+                ppd2 = grid.ppd * grid.ppd
+                if cfg.skew_strategy == "salt" and cell_key >= ppd2:
+                    # hash-salt bucket: the (h_r, h_s) bucket structure
+                    # already guarantees exactly-once within the cell, so
+                    # only the cell-level reference-point test applies
+                    f2 = cfg.salt_factor * cfg.salt_factor
+                    base = (cell_key - ppd2) // f2
+                    keep = point_cell(grid, rx, ry) == base
+                else:
+                    keep = ref_point_key(grid, rx, ry, hot_cells,
+                                         cfg.salt_factor) == cell_key
                 out_r.append(r_idx[ri[keep]])
                 out_s.append(s_idx[si[keep]])
     if not out_r:
