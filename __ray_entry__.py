@@ -216,6 +216,20 @@ def _q_poly_line_join_pairs(sf_dir: str):
                         "intersects", _cfg())
 
 
+def _q_poly_join_pairs_salted(sf_dir: str):
+    """Same join, same oracle — but forced through the hash-salting skew
+    path (low hot threshold so most cells salt): the driver bit-verifies
+    that the f x f bucket scheme changes nothing but the shuffle keys."""
+    from hecatoncheir_ray import spatial_join
+    # threshold 8 ~ the sf0.01 per-cell average, so a large fraction of
+    # cells actually go through the salted path at driver scale
+    cfg = EngineConfig(dataspace=_B, ppd=64, hot_cell_rows=8,
+                       skew_strategy="salt")
+    return spatial_join(derive.ray_octagons_orders(sf_dir),
+                        derive.ray_octagons_part(sf_dir),
+                        "intersects", cfg)
+
+
 # --- tiling (north rule: raster<->vector tile assignment) -------------------
 
 _TILE_PPD = 32
@@ -240,6 +254,13 @@ def _q_tile_counts_points(sf_dir: str):
 
 
 _PYRAMID_ZOOM = 8
+
+
+def _q_tile_cover_boxes(sf_dir: str):
+    """Box layer -> (id, tile_id) for every overlapped tile (the explode
+    primitive the join shuffle uses, exposed as an API)."""
+    from hecatoncheir_ray.pipelines.tiling import tile_cover
+    return tile_cover(derive.ray_boxes_part(sf_dir), _tile_grid())
 
 
 def _q_tile_pyramid_counts(sf_dir: str):
@@ -468,9 +489,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "poly_join_pairs": _q_poly_join_pairs,
         "poly_find_relation_counts": _q_poly_find_relation_counts,
         "poly_line_join_pairs": _q_poly_line_join_pairs,
+        "poly_join_pairs_salted": _q_poly_join_pairs_salted,
         "tile_assignment_points": _q_tile_assignment_points,
         "tile_counts_points": _q_tile_counts_points,
         "tile_pyramid_counts": _q_tile_pyramid_counts,
+        "tile_cover_boxes": _q_tile_cover_boxes,
         "image_tile_assignments": _q_image_tile_assignments,
         "image_verify": _q_image_verify,
         "doc_stats": _q_doc_stats,
@@ -686,6 +709,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT {_tile_sql()} AS tile_id, COUNT(*) AS n FROM p
             GROUP BY 1""",
         "tile_pyramid_counts": _pyramid_sql(),
+        "tile_cover_boxes": _tile_cover_sql(),
         "poly_join_pairs": f"""
             WITH {_convex_pair_ctes(bo, derive.ORDERS_SALT,
                                     derive.sql_boxes_part_oct(),
@@ -709,6 +733,13 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN s_in b ON b.r_id = c.r_id AND b.s_id = c.s_id
             GROUP BY 1""",
         "poly_line_join_pairs": _poly_line_oracle(),
+        "poly_join_pairs_salted": f"""
+            WITH {_convex_pair_ctes(bo, derive.ORDERS_SALT,
+                                    derive.sql_boxes_part_oct(),
+                                    derive.PART_SALT)}
+            SELECT r_id, s_id FROM crossed
+            UNION SELECT r_id, s_id FROM r_in
+            UNION SELECT r_id, s_id FROM s_in""",
         "doc_stats": _text.text_stats_sql(),
         "doc_lang_id": _text.lang_id_sql(),
         "doc_fingerprints": _text.FINGERPRINTS_SQL,
@@ -729,6 +760,31 @@ def oracle_sql() -> dict[str, str]:
                           + _text.lang_id_sql() + ") GROUP BY 1"),
         "doc_top_tokens": _text.top_tokens_sql(20),
     }
+
+
+def _tile_cover_sql() -> str:
+    """Two-level unnest(generate_series) over the clamped cell ranges —
+    the SQL twin of grid.explode_cells for the tile grid."""
+    g = _tile_grid()
+    p = _TILE_PPD
+    def rng(lo, hi, orig, step):
+        a = (f"LEAST(GREATEST(CAST(FLOOR(({lo} - ({orig!r})) / {step!r}) "
+             f"AS BIGINT), 0), {p - 1})")
+        b = (f"LEAST(GREATEST(CAST(FLOOR(({hi} - ({orig!r})) / {step!r}) "
+             f"AS BIGINT), 0), {p - 1})")
+        return a, b
+    cx0, cx1 = rng("minx", "maxx", g.minx, g.cell_w)
+    cy0, cy1 = rng("miny", "maxy", g.miny, g.cell_h)
+    bp = derive.sql_boxes_part()
+    return f"""
+        WITH b AS ({bp}),
+        r AS (SELECT id, {cx0} AS cx0, {cx1} AS cx1,
+                     {cy0} AS cy0, {cy1} AS cy1 FROM b),
+        e1 AS (SELECT id, cx0, cx1,
+                      unnest(generate_series(cy0, cy1)) AS cy FROM r),
+        e2 AS (SELECT id, cy,
+                      unnest(generate_series(cx0, cx1)) AS cx FROM e1)
+        SELECT id, cy * {p} + cx AS tile_id FROM e2"""
 
 
 def _pyramid_sql() -> str:
