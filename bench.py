@@ -306,6 +306,95 @@ def run_scaling() -> dict:
             "rows_per_sec_32": r32["rows_per_sec"], "sf": SF_DIR}
 
 
+def run_skew() -> dict:
+    """Skew-handling benchmark: a pathological point layer (60% of rows
+    stacked on ONE coordinate — identical MBRs, the case geometric
+    sub-cell splitting cannot separate) joined against a box layer, under
+    the three skew modes.  Result parity is asserted; walls show the
+    strategies' effect.  Min of 2 alternated reps per mode."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+    import ray.data as rd
+    from hecatoncheir_ray import EngineConfig, spatial_join
+    from hecatoncheir_ray.sources.synth import synth_points
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    _tune_context(ctx)
+
+    B = (0.0, 0.0, 64.0, 64.0)
+    n = 200_000
+    ids = np.arange(n, dtype=np.int64)
+    pts = synth_points(ids, seed=11, bounds=B)
+    x = pts["minx"].to_numpy(zero_copy_only=False).copy()
+    y = pts["miny"].to_numpy(zero_copy_only=False).copy()
+    x[:int(n * 0.6)] = 13.37          # degenerate hot spot
+    y[:int(n * 0.6)] = 13.37
+    flat = np.empty(2 * n)
+    flat[0::2] = x
+    flat[1::2] = y
+    offs = np.arange(0, 2 * n + 1, 2, dtype=np.int32)
+    stacked = pa.table({
+        "id": pts["id"], "gtype": pts["gtype"],
+        "coords": pa.ListArray.from_arrays(pa.array(offs), pa.array(flat)),
+        "minx": pa.array(x), "miny": pa.array(y),
+        "maxx": pa.array(x), "maxy": pa.array(y)})
+    # S side: a background grid PLUS 20k tiny boxes stacked at the same
+    # hot coordinate (offset so they match no point: the blowup is the
+    # n_r x n_s candidate work inside one group, not the result size).
+    # Both sides identical-MBR at one spot => geometric splitting leaves
+    # one sub-cell with ALL the work; only hash-salting spreads it.
+    k = np.arange(4096, dtype=np.int64)
+    bx = (k % 64).astype(float)
+    by = (k // 64).astype(float)
+    hs = 20_000
+    hminx = np.concatenate([bx, np.full(hs, 13.3705)])
+    hminy = np.concatenate([by, np.full(hs, 13.3705)])
+    hmaxx = np.concatenate([bx + 1.0, np.full(hs, 13.3710)])
+    hmaxy = np.concatenate([by + 1.0, np.full(hs, 13.3710)])
+    nb = 4096 + hs
+    boxes = pa.table({
+        "id": pa.array(np.arange(nb, dtype=np.int64) + 1_000_000),
+        "gtype": pa.array(np.full(nb, 4, np.int8)),
+        "coords": pa.ListArray.from_arrays(
+            pa.array(np.arange(0, 4 * nb + 1, 4, dtype=np.int32)),
+            pa.array(np.stack([hminx, hminy, hmaxx, hmaxy],
+                              axis=1).ravel())),
+        "minx": pa.array(hminx), "miny": pa.array(hminy),
+        "maxx": pa.array(hmaxx), "maxy": pa.array(hmaxy)})
+
+    modes = {
+        "no_salting": dict(auto_salt=False),
+        "split": dict(skew_strategy="split", hot_cell_rows=4096),
+        "salt": dict(skew_strategy="salt", hot_cell_rows=4096),
+    }
+    best: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for _ in range(2):
+        for label, kw in modes.items():
+            cfg = EngineConfig(dataspace=B, ppd=64, salt_factor=16, **kw)
+            t0 = time.time()
+            n_out = spatial_join(
+                rd.from_arrow(stacked).map_batches(
+                    lambda t: t, batch_format="pyarrow", batch_size=8192),
+                rd.from_arrow(boxes), "covered_by", cfg).count()
+            dt = time.time() - t0
+            rows[label] = n_out
+            if label not in best or dt < best[label]:
+                best[label] = dt
+    assert len(set(rows.values())) == 1, rows   # parity across modes
+    ray.shutdown()
+    return {"metric": "skew_join_seconds", "unit": "sec",
+            "value": round(best["salt"], 3),
+            "queries": {m: round(s, 3) for m, s in best.items()},
+            "result_rows": rows["salt"], "stacked_fraction": 0.6,
+            "num_cpus": NUM_CPUS}
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
@@ -313,5 +402,7 @@ if __name__ == "__main__":
         print(json.dumps(run_heavy()))
     elif "--april" in sys.argv:
         print(json.dumps(run_april()))
+    elif "--skew" in sys.argv:
+        print(json.dumps(run_skew()))
     else:
         print(json.dumps(run_bench()))

@@ -60,22 +60,24 @@ def tile_cover(geoms: Dataset, grid: GridSpec) -> Dataset:
 def tile_counts(assignments: Dataset, grid: GridSpec):
     """(id, tile_id) -> DataFrame(tile_id, n) for non-empty tiles.
 
-    Per-batch bincount partials merged on the driver (<= ppd^2 ints;
-    a ray groupby shuffle would cost a barrier for a tiny result)."""
+    Per-batch SPARSE (tile, count) partials + one shuffle-side groupby
+    Sum — partial size tracks the batch's distinct tiles (not ppd^2
+    dense), and the driver only ever sees the non-empty result rows, so
+    the same code holds at ppd 32 and ppd 4096."""
     import pandas as pd
-    ncell = grid.ppd * grid.ppd
+    from ray.data.aggregate import Sum
 
     def partial(t: pa.Table) -> pa.Table:
         c = t["tile_id"].to_numpy(zero_copy_only=False)
-        h = np.bincount(c, minlength=ncell).astype(np.int64)
-        return pa.table({"h": pa.array([h])})
+        uc, cnt = np.unique(c, return_counts=True)
+        return pa.table({"tile_id": pa.array(uc, type=pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64))})
 
-    total = np.zeros(ncell, dtype=np.int64)
-    for r in assignments.map_batches(partial,
-                                     batch_format="pyarrow").take_all():
-        total += np.asarray(r["h"])
-    nz = np.nonzero(total)[0]
-    return pd.DataFrame({"tile_id": nz.astype(np.int64), "n": total[nz]})
+    out = assignments.map_batches(partial, batch_format="pyarrow") \
+        .groupby("tile_id").aggregate(Sum("n", alias_name="n")).to_pandas()
+    out["tile_id"] = out["tile_id"].astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values("tile_id").reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
