@@ -76,6 +76,12 @@ def _as_ring_or_line(gtype: int, coords: np.ndarray):
 def fast_intersects(gtype_r: int, cr: np.ndarray,
                     gtype_s: int, cs: np.ndarray) -> bool:
     """boost::geometry::intersects semantics (touch counts), fast path."""
+    if gtype_r == GT_BOX and gtype_s == GT_BOX:
+        # exact interval overlap — the segment kernel's scaled epsilon can
+        # swallow a crossing whose overlap region is tiny relative to the
+        # longest edge (e.g. two thin slivers crossing near an endpoint)
+        return bool(cr[0] <= cs[2] and cs[0] <= cr[2]
+                    and cr[1] <= cs[3] and cs[1] <= cr[3])
     kr, pr, er = _as_ring_or_line(gtype_r, cr)
     ks, ps, es = _as_ring_or_line(gtype_s, cs)
     if kr == "P" and ks == "P":

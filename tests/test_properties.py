@@ -74,6 +74,17 @@ def test_box_fastpath_matches_relate(a, b):
         find_relation(GT_BOX, a, GT_BOX, b, int(cases[0]))
 
 
+def test_crossing_slivers_regression():
+    """Two thin boxes overlapping near a corner: the segment kernel's
+    scaled epsilon used to swallow the crossing (found by hypothesis);
+    box x box now uses exact interval overlap."""
+    a = np.array([0.0, -100.0, 1e-3, 0.0])
+    b = np.array([-1e-4, -1e-4, 9e-4, 100.0])
+    assert eval_predicate("intersects", GT_BOX, a, GT_BOX, b)
+    assert not eval_predicate("disjoint", GT_BOX, a, GT_BOX, b)
+    assert bool(box_predicate_mask("intersects", a[None], b[None])[0])
+
+
 @settings(max_examples=200, deadline=None)
 @given(boxes(), boxes())
 def test_refpoint_owned_by_both(a, b):
