@@ -216,6 +216,14 @@ def _q_poly_line_join_pairs(sf_dir: str):
                         "intersects", _cfg())
 
 
+def _q_poly_measures(sf_dir: str):
+    """Scalar geometry measures (shoelace area, perimeter, centroid) over
+    the derived octagon layer — vectorized map_batches, bit-exact SQL twin
+    (left-to-right accumulation pinned on both sides)."""
+    from hecatoncheir_ray.geometry.measures import measures_dataset
+    return measures_dataset(derive.ray_octagons_orders(sf_dir))
+
+
 def _q_poly_join_pairs_salted(sf_dir: str):
     """Same join, same oracle — but forced through the hash-salting skew
     path (low hot threshold so most cells salt): the driver bit-verifies
@@ -490,6 +498,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "poly_find_relation_counts": _q_poly_find_relation_counts,
         "poly_line_join_pairs": _q_poly_line_join_pairs,
         "poly_join_pairs_salted": _q_poly_join_pairs_salted,
+        "poly_measures": _q_poly_measures,
         "tile_assignment_points": _q_tile_assignment_points,
         "tile_counts_points": _q_tile_counts_points,
         "tile_pyramid_counts": _q_tile_pyramid_counts,
@@ -574,6 +583,34 @@ def _convex_pair_ctes(r_box: str, r_salt: int, s_box: str, s_salt: int) -> str:
             JOIN sv p ON p.id = c.s_id AND p.i = 1
             JOIN re ON re.id = c.r_id
             GROUP BY c.r_id, c.s_id HAVING BOOL_AND(({in_r}) > 0))"""
+
+
+def _poly_measures_sql() -> str:
+    """Shoelace area / perimeter / centroid of the orders octagons, with
+    term order matching geometry.measures.ring_measures_fixed exactly."""
+    rv = derive.sql_octagon_vertices(derive.sql_boxes_orders(), "id",
+                                     derive.ORDERS_SALT)
+    pivot = ", ".join(
+        f"MAX(CASE WHEN i = {k} THEN x END) AS x{k}, "
+        f"MAX(CASE WHEN i = {k} THEN y END) AS y{k}"
+        for k in range(1, 9))
+    t = [f"(x{i} * y{i % 8 + 1} - x{i % 8 + 1} * y{i})"
+         for i in range(1, 9)]
+    e = [f"sqrt((x{i % 8 + 1} - x{i}) * (x{i % 8 + 1} - x{i})"
+         f" + (y{i % 8 + 1} - y{i}) * (y{i % 8 + 1} - y{i}))"
+         for i in range(1, 9)]
+    cxt = [f"(x{i} + x{i % 8 + 1}) * {t[i - 1]}" for i in range(1, 9)]
+    cyt = [f"(y{i} + y{i % 8 + 1}) * {t[i - 1]}" for i in range(1, 9)]
+    return f"""
+        WITH v AS ({rv}), w AS (SELECT id, {pivot} FROM v GROUP BY id),
+        m AS (SELECT id,
+                0.5 * ({" + ".join(t)}) AS area,
+                {" + ".join(e)} AS length,
+                ({" + ".join(cxt)}) AS sx,
+                ({" + ".join(cyt)}) AS sy
+              FROM w)
+        SELECT id, area, length,
+               sx / (6.0 * area) AS cx, sy / (6.0 * area) AS cy FROM m"""
 
 
 def _poly_line_oracle() -> str:
@@ -733,6 +770,7 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN s_in b ON b.r_id = c.r_id AND b.s_id = c.s_id
             GROUP BY 1""",
         "poly_line_join_pairs": _poly_line_oracle(),
+        "poly_measures": _poly_measures_sql(),
         "poly_join_pairs_salted": f"""
             WITH {_convex_pair_ctes(bo, derive.ORDERS_SALT,
                                     derive.sql_boxes_part_oct(),
