@@ -286,6 +286,164 @@ def write_partitioned(ds, out_dir: str, grid=None):
     ds.write_parquet(out_dir)
 
 
+# ---------------------------------------------------------------------------
+# GeoJSON (RFC 7946) — third text source beside WKT/CSV
+# ---------------------------------------------------------------------------
+
+_GJ_TYPES = {"Point": 1, "LineString": 2, "Polygon": 3}
+
+
+def _norm_path(path: str) -> str:
+    """Normalize like read_wkt: abspath local paths only (a scheme-
+    qualified object-store key must not resolve against cwd)."""
+    import os
+    had_scheme = "://" in path
+    p = path.split("://", 1)[-1]
+    return p if had_scheme else os.path.abspath(p)
+
+
+def _geojson_geom(geom: dict):
+    """GeoJSON geometry dict -> (gtype, flat coords) or None (skip).
+
+    Engine conventions (geometry/core.py): polygons keep the OUTER ring
+    only, stored unclosed; Multi*/GeometryCollection and holes are skipped
+    like the WKT loader skips MULTI* rows (partitioning.cpp:528-531)."""
+    gt = _GJ_TYPES.get(geom.get("type"))
+    if gt is None:
+        return None
+    c = geom.get("coordinates")
+    try:
+        if gt == 1:
+            flat = np.asarray(c, dtype=np.float64)
+            if flat.shape != (2,):
+                return None
+        elif gt == 2:
+            pts = np.asarray(c, dtype=np.float64)
+            if pts.ndim != 2 or pts.shape[0] < 2 or pts.shape[1] != 2:
+                return None
+            flat = pts.ravel()
+        else:
+            rings = c
+            if not rings:
+                return None
+            ring = np.asarray(rings[0], dtype=np.float64)
+            if ring.ndim != 2 or ring.shape[1] != 2 or ring.shape[0] < 4:
+                return None
+            if (ring[0] == ring[-1]).all():
+                ring = ring[:-1]          # store unclosed
+            if ring.shape[0] < 3:
+                return None
+            # normalize to CCW (shoelace sign)
+            x, y = ring[:, 0], ring[:, 1]
+            if np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y) < 0:
+                ring = ring[::-1]
+            flat = ring.ravel()
+    except (TypeError, ValueError):
+        return None
+    return gt, flat
+
+
+def load_geojson_table(path: str, data_type: str | None = None) -> pa.Table:
+    """Driver-side GeoJSON FeatureCollection (or bare geometry /
+    feature) -> geometry table; id = feature index, or the feature's
+    integer ``id`` member when present on every feature."""
+    import json
+    with open(path) as f:
+        doc = json.load(f)
+    if doc.get("type") == "FeatureCollection":
+        feats = doc.get("features", [])
+    elif doc.get("type") == "Feature":
+        feats = [doc]
+    else:
+        feats = [{"geometry": doc}]
+    want = _NAME_TO_GTYPE.get(data_type) if data_type else None
+    use_ids = all(isinstance(f.get("id"), int) for f in feats) and feats
+    ids, gts, coords = [], [], []
+    for k, f in enumerate(feats):
+        g = _geojson_geom(f.get("geometry") or {})
+        if g is None:
+            continue
+        if want is not None and g[0] != want:
+            continue
+        ids.append(f["id"] if use_ids else k)
+        gts.append(g[0])
+        coords.append(g[1])
+    return _geom_table(ids, gts, coords)
+
+
+def read_geojsonl(paths, data_type: str | None = None):
+    """Distributed GeoJSON-Lines reader (one Feature or geometry JSON per
+    line — the standard big-data GeoJSON layout; a single FeatureCollection
+    file cannot be split without parsing it whole).  Ids are collision-free
+    across files: file_rank * FILE_ID_STRIDE + line number, matching
+    read_wkt's scheme."""
+    import json
+    import ray.data as rd
+    if isinstance(paths, str):
+        paths = [paths]
+    ranked = sorted(_norm_path(p) for p in paths)
+    rank = {p: i for i, p in enumerate(ranked)}
+    want = _NAME_TO_GTYPE.get(data_type) if data_type else None
+
+    def parse(t: pa.Table) -> pa.Table:
+        ids, gts, coords = [], [], []
+        for path, data in zip(t["path"].to_pylist(),
+                              t["bytes"].to_pylist()):
+            p = _norm_path(path)
+            base = rank.get(p)
+            if base is None:        # scheme-stripped read path
+                base = next((i for k, i in rank.items()
+                             if k.endswith(p) or p.endswith(k)), 0)
+            base *= FILE_ID_STRIDE
+            for lineno, line in enumerate(
+                    data.decode("utf-8", "replace").splitlines()):
+                line = line.strip().rstrip(",")
+                if not line or line in ("[", "]", "{", "}"):
+                    continue
+                try:
+                    obj = json.loads(line)
+                except ValueError:
+                    continue
+                geom = obj.get("geometry", obj) if isinstance(obj, dict) \
+                    else None
+                g = _geojson_geom(geom or {})
+                if g is None:
+                    continue
+                if want is not None and g[0] != want:
+                    continue
+                ids.append(base + lineno)
+                gts.append(g[0])
+                coords.append(g[1])
+        return _geom_table(ids, gts, coords)
+
+    return rd.read_binary_files(paths, include_paths=True) \
+        .map_batches(parse, batch_format="pyarrow", batch_size=1)
+
+
+def write_geojsonl(table: pa.Table, path: str) -> None:
+    """Geometry table -> GeoJSON-Lines file (one Feature per row)."""
+    import json
+    inv = {1: "Point", 2: "LineString", 3: "Polygon"}
+    with open(path, "w") as f:
+        for row in table.to_pylist():
+            flat = np.asarray(row["coords"]).reshape(-1, 2)
+            gt = int(row["gtype"])
+            if gt == 4:               # box -> closed polygon ring
+                (x0, y0), (x1, y1) = flat
+                ring = [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]
+                geom = {"type": "Polygon", "coordinates": [ring]}
+            elif gt == 3:
+                ring = flat.tolist() + [flat[0].tolist()]
+                geom = {"type": "Polygon", "coordinates": [ring]}
+            elif gt == 2:
+                geom = {"type": "LineString", "coordinates": flat.tolist()}
+            else:
+                geom = {"type": "Point", "coordinates": flat[0].tolist()}
+            f.write(json.dumps({"type": "Feature", "id": int(row["id"]),
+                                "geometry": geom, "properties": {}})
+                    + "\n")
+
+
 def read_lance_or_parquet(path: str, columns=None):
     """Prefer Lance when the library exists (the north-star input format),
     fall back to parquet (this container has no lance)."""
