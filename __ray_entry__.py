@@ -280,12 +280,14 @@ def _q_tile_pyramid_counts(sf_dir: str):
 
 
 def _q_image_tile_assignments(sf_dir: str):
-    """Image table -> tile per image via deterministic geotag (rows-only:
-    image synthesis is not SQL-expressible)."""
+    """Image table -> tile per image via the u01 geotag family, so even
+    this image-side query gets a bit-exact SQL twin (generate_series +
+    printf reconstructs the image ids; only the pixel payload stays
+    SQL-inexpressible)."""
     from hecatoncheir_ray.pipelines.tiling import image_tile_assignments
     from hecatoncheir_ray.sources.images import ray_image_table
     return image_tile_assignments(ray_image_table(500, seed=42),
-                                  _tile_grid())
+                                  _tile_grid(), geotag="u01")
 
 
 def _q_image_verify(sf_dir: str):
@@ -747,6 +749,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1""",
         "tile_pyramid_counts": _pyramid_sql(),
         "tile_cover_boxes": _tile_cover_sql(),
+        "image_tile_assignments": _image_tiles_sql(),
         "poly_join_pairs": f"""
             WITH {_convex_pair_ctes(bo, derive.ORDERS_SALT,
                                     derive.sql_boxes_part_oct(),
@@ -798,6 +801,17 @@ def oracle_sql() -> dict[str, str]:
                           + _text.lang_id_sql() + ") GROUP BY 1"),
         "doc_top_tokens": _text.top_tokens_sql(20),
     }
+
+
+def _image_tiles_sql() -> str:
+    """u01-geotagged image rows: ids via generate_series, the same tile
+    arithmetic as _tile_sql."""
+    px, py = derive.points_sql("k")
+    return f"""
+        WITH i AS (SELECT unnest(generate_series(0, 499)) AS k),
+        p AS (SELECT k, {px} AS x, {py} AS y FROM i)
+        SELECT printf('img%08d', k) AS image_id, {_tile_sql()} AS tile_id
+        FROM p"""
 
 
 def _tile_cover_sql() -> str:

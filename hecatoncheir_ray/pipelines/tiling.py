@@ -169,16 +169,27 @@ def pyramid_counts_sql(x: str, y: str, from_clause: str, bounds,
 
 
 def image_tile_assignments(images: Dataset, grid: GridSpec,
-                           seed: int = 42) -> Dataset:
-    """Image table -> (image_id, tile_id) via the deterministic geotag."""
+                           seed: int = 42,
+                           geotag: str = "split64") -> Dataset:
+    """Image table -> (image_id, tile_id) via the deterministic geotag.
+
+    ``geotag="split64"`` uses the flagship's splitmix64 geotag
+    (sources/images.geotag_table); ``"u01"`` keys the small-modulus u01
+    hash family on the image index instead — same uniform layout, but
+    every step is DuckDB-expressible, so the assignment gets a bit-exact
+    SQL oracle (wraparound uint64 multiplies are not)."""
     from ..sources.images import geotag_table
-    from ..sources.synth import rand01
-    from ..config import TIGER_US_BOUNDS
 
     def assign(t: pa.Table) -> pa.Table:
-        g = geotag_table(t, seed)
-        x = g["minx"].to_numpy(zero_copy_only=False)
-        y = g["miny"].to_numpy(zero_copy_only=False)
+        if geotag == "u01":
+            from ..sources.derive import points_np
+            ids = np.array([int(s[3:]) for s in
+                            t["image_id"].to_pylist()], dtype=np.int64)
+            x, y = points_np(ids)
+        else:
+            g = geotag_table(t, seed)
+            x = g["minx"].to_numpy(zero_copy_only=False)
+            y = g["miny"].to_numpy(zero_copy_only=False)
         return pa.table({
             "image_id": t["image_id"],
             "tile_id": pa.array(point_cell(grid, x, y), type=pa.int64()),
