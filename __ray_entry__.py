@@ -216,6 +216,16 @@ def _q_poly_line_join_pairs(sf_dir: str):
                         "intersects", _cfg())
 
 
+def _q_range_count_polygons(sf_dir: str):
+    """Polygon-window range query over the derived octagons (J9 non-point
+    path, mega-batched): count octagons intersecting each window."""
+    from hecatoncheir_ray.pipelines.range_query import range_query
+    wins = [(qid, GT_BOX, np.array([x0, y0, x1, y1]))
+            for qid, x0, y0, x1, y1 in _RANGE_WINDOWS]
+    return range_query(derive.ray_octagons_part(sf_dir), wins,
+                       mode="count")
+
+
 def _q_poly_measures(sf_dir: str):
     """Scalar geometry measures (shoelace area, perimeter, centroid) over
     the derived octagon layer — vectorized map_batches, bit-exact SQL twin
@@ -501,6 +511,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "poly_line_join_pairs": _q_poly_line_join_pairs,
         "poly_join_pairs_salted": _q_poly_join_pairs_salted,
         "poly_measures": _q_poly_measures,
+        "range_count_polygons": _q_range_count_polygons,
         "tile_assignment_points": _q_tile_assignment_points,
         "tile_counts_points": _q_tile_counts_points,
         "tile_pyramid_counts": _q_tile_pyramid_counts,
@@ -585,6 +596,61 @@ def _convex_pair_ctes(r_box: str, r_salt: int, s_box: str, s_salt: int) -> str:
             JOIN sv p ON p.id = c.s_id AND p.i = 1
             JOIN re ON re.id = c.r_id
             GROUP BY c.r_id, c.s_id HAVING BOOL_AND(({in_r}) > 0))"""
+
+
+def _range_polys_sql() -> str:
+    """Convex octagon vs literal rectangle intersect, per window: proper
+    edge crossing OR octagon-v1 strictly inside the rect OR rect corner
+    strictly inside the octagon (complete for convex pairs in generic
+    position — same decomposition as the join oracles)."""
+    pb = derive.sql_boxes_part_oct()
+    pv = derive.sql_octagon_vertices(pb, "id", derive.PART_SALT)
+    win_values = ", ".join(
+        f"({qid}, {x0!r}, {y0!r}, {x1!r}, {y1!r})"
+        for qid, x0, y0, x1, y1 in _RANGE_WINDOWS)
+    o1 = _orient("re.sx", "re.sy", "re.ex", "re.ey", "we.sx", "we.sy")
+    o2 = _orient("re.sx", "re.sy", "re.ex", "re.ey", "we.ex", "we.ey")
+    o3 = _orient("we.sx", "we.sy", "we.ex", "we.ey", "re.sx", "re.sy")
+    o4 = _orient("we.sx", "we.sy", "we.ex", "we.ey", "re.ex", "re.ey")
+    in_oct = _orient("re.sx", "re.sy", "re.ex", "re.ey", "w.x0", "w.y0")
+    return f"""
+        WITH pb AS ({pb}), pv AS ({pv}),
+        w(query_id, x0, y0, x1, y1) AS (VALUES {win_values}),
+        re AS (SELECT a.id, a.x AS sx, a.y AS sy, b.x AS ex, b.y AS ey
+               FROM pv a JOIN pv b ON b.id = a.id AND b.i = (a.i % 8) + 1),
+        we AS (SELECT query_id, k.i,
+                      CASE k.i WHEN 1 THEN x0 WHEN 2 THEN x1
+                               WHEN 3 THEN x1 ELSE x0 END AS sx,
+                      CASE k.i WHEN 1 THEN y0 WHEN 2 THEN y0
+                               WHEN 3 THEN y1 ELSE y1 END AS sy,
+                      CASE k.i WHEN 1 THEN x1 WHEN 2 THEN x1
+                               WHEN 3 THEN x0 ELSE x0 END AS ex,
+                      CASE k.i WHEN 1 THEN y0 WHEN 2 THEN y1
+                               WHEN 3 THEN y1 ELSE y0 END AS ey
+               FROM w CROSS JOIN
+               (SELECT unnest(generate_series(1, 4)) AS i) k),
+        cand AS (SELECT w.query_id, b.id, w.x0, w.y0, w.x1, w.y1
+                 FROM w, pb b
+                 WHERE b.minx <= w.x1 AND w.x0 <= b.maxx
+                   AND b.miny <= w.y1 AND w.y0 <= b.maxy),
+        crossed AS (SELECT c.query_id, c.id FROM cand c
+            JOIN re ON re.id = c.id
+            JOIN we ON we.query_id = c.query_id
+            WHERE ({o1}) * ({o2}) < 0 AND ({o3}) * ({o4}) < 0
+            GROUP BY c.query_id, c.id),
+        v1_in AS (SELECT c.query_id, c.id FROM cand c
+            JOIN pv p ON p.id = c.id AND p.i = 1
+            WHERE p.x > c.x0 AND p.x < c.x1 AND p.y > c.y0 AND p.y < c.y1),
+        c_in AS (SELECT c.query_id, c.id FROM cand c
+            JOIN w ON w.query_id = c.query_id
+            JOIN re ON re.id = c.id
+            GROUP BY c.query_id, c.id HAVING BOOL_AND(({in_oct}) > 0)),
+        hits AS (SELECT query_id, id FROM crossed
+                 UNION SELECT query_id, id FROM v1_in
+                 UNION SELECT query_id, id FROM c_in)
+        SELECT w.query_id AS query_id, COUNT(h.id) AS result_count
+        FROM w LEFT JOIN hits h ON h.query_id = w.query_id
+        GROUP BY w.query_id"""
 
 
 def _poly_measures_sql() -> str:
@@ -774,6 +840,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1""",
         "poly_line_join_pairs": _poly_line_oracle(),
         "poly_measures": _poly_measures_sql(),
+        "range_count_polygons": _range_polys_sql(),
         "poly_join_pairs_salted": f"""
             WITH {_convex_pair_ctes(bo, derive.ORDERS_SALT,
                                     derive.sql_boxes_part_oct(),
