@@ -5,10 +5,15 @@
 takes ``sf_dir`` and returns a Dataset / DataFrame / pyarrow Table.
 ``oracle_sql()`` — bit-matching DuckDB SQL for the SQL-expressible queries
 (geometry layers derive from the testdata tables via integer hashing written
-identically on both sides, hecatoncheir_ray/sources/derive.py).  Geometry
-queries over true polygons are not SQL-expressible without a spatial
-extension (none installable here) -> rows-only entries, with brute-force
-oracle parity covered in tests/.
+identically on both sides, hecatoncheir_ray/sources/derive.py).  Even the
+polygon joins are oracle-backed: derived convex octagon / x-monotone
+polyline layers are in generic position by construction, where convex
+intersect / containment / crossing decompose into plain-SQL orientation
+tests (edge-cross + first-vertex-in).  The only rows-only entries left are
+the genuinely codec/hash-bound ones (pixel verify, WAV/HECV decode,
+MinHash's wraparound-uint64 hashing), each carrying its invariant checks
+in-line; brute-force oracle parity for irregular synth layers lives in
+tests/.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here calls ray.init()/ray.shutdown().
