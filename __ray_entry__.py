@@ -221,6 +221,28 @@ def _q_poly_line_join_pairs(sf_dir: str):
                         "intersects", _cfg())
 
 
+_KNNJ_K = 5
+_KNNJ_MOD = 25
+
+
+def _q_knn_join_points(sf_dir: str):
+    """Exact distributed kNN JOIN (every R point -> its 5 nearest event
+    points): cell-local boundary-resolved pass + proven-radius expansion,
+    no broadcast of R (pipelines/knn_join.py).  R = events subset
+    (event_id %% 25 == 0), S = all event points."""
+    import pyarrow as pa
+    from hecatoncheir_ray.pipelines.knn_join import knn_join
+
+    def subset(t):
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % _KNNJ_MOD == 0))
+
+    pts = derive.ray_points_events(sf_dir)
+    sub = pts.map_batches(subset, batch_format="pyarrow")
+    cfg = EngineConfig(dataspace=_B, ppd=16)
+    return knn_join(sub, pts, _KNNJ_K, cfg)
+
+
 def _q_range_count_polygons(sf_dir: str):
     """Polygon-window range query over the derived octagons (J9 non-point
     path, mega-batched): count octagons intersecting each window."""
@@ -517,6 +539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "poly_join_pairs_salted": _q_poly_join_pairs_salted,
         "poly_measures": _q_poly_measures,
         "range_count_polygons": _q_range_count_polygons,
+        "knn_join_points": _q_knn_join_points,
         "tile_assignment_points": _q_tile_assignment_points,
         "tile_counts_points": _q_tile_counts_points,
         "tile_pyramid_counts": _q_tile_pyramid_counts,
@@ -846,6 +869,15 @@ def oracle_sql() -> dict[str, str]:
         "poly_line_join_pairs": _poly_line_oracle(),
         "poly_measures": _poly_measures_sql(),
         "range_count_polygons": _range_polys_sql(),
+        "knn_join_points": f"""
+            WITH p AS ({derive.sql_points_events()}),
+            q AS (SELECT * FROM p WHERE id % {_KNNJ_MOD} = 0)
+            SELECT r_id, s_id, rank FROM (
+                SELECT q.id AS r_id, p.id AS s_id,
+                       ROW_NUMBER() OVER (PARTITION BY q.id ORDER BY
+                           (q.x - p.x) * (q.x - p.x)
+                         + (q.y - p.y) * (q.y - p.y), p.id) AS rank
+                FROM q, p) WHERE rank <= {_KNNJ_K}""",
         "poly_join_pairs_salted": f"""
             WITH {_convex_pair_ctes(bo, derive.ORDERS_SALT,
                                     derive.sql_boxes_part_oct(),
