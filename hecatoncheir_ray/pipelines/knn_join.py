@@ -314,11 +314,12 @@ def knn_join(r: Dataset, s: Dataset, k: int,
         ok_ids = set(counts[counts[cnt_col] >= k]["r_id"].tolist())
         cand_sets.append(cand)
 
-        def drop_settled(t: pa.Table, _ok=frozenset(ok_ids)) -> pa.Table:
+        ok_arr = np.fromiter(ok_ids, dtype=np.int64, count=len(ok_ids))
+        ok_arr.sort()
+
+        def drop_settled(t: pa.Table, _ok=ok_arr) -> pa.Table:
             pid = t["pid"].to_numpy(zero_copy_only=False)
-            keep = np.array([p not in _ok for p in pid.tolist()],
-                            dtype=bool)
-            return t.filter(pa.array(keep))
+            return t.filter(pa.array(~np.isin(pid, _ok)))
 
         unknown = unknown.map_batches(drop_settled,
                                       batch_format="pyarrow") \
