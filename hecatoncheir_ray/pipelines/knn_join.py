@@ -155,9 +155,19 @@ def _make_local_kernel(grid, k: int, chunk: int):
                 res = kth < b2[lo:hi]
                 if res.any():
                     rs = np.nonzero(res)[0]
+                    # rank each resolved row's k hits by (dist2, s_id):
+                    # stable argsort by dist2 after a pre-sort by s_id
+                    sid_sel = sid[sel[rs]]
+                    d2_sel = d2k_all[rs]
+                    o1 = np.argsort(sid_sel, axis=1, kind="stable")
+                    d2o = np.take_along_axis(d2_sel, o1, axis=1)
+                    o2 = np.argsort(d2o, axis=1, kind="stable")
+                    fo = np.take_along_axis(o1, o2, axis=1)
                     out_r.append(np.repeat(pid[rr[rs]], k))
-                    out_s.append(sid[sel[rs].ravel()])
-                    out_d.append(d2k_all[rs].ravel())
+                    out_s.append(np.take_along_axis(sid_sel, fo,
+                                                    axis=1).ravel())
+                    out_d.append(np.tile(
+                        np.arange(1, k + 1, dtype=np.float64), len(rs)))
                 if (~res).any():
                     us = np.nonzero(~res)[0]
                     un_id.append(pid[rr[us]])
@@ -262,8 +272,11 @@ def knn_join(r: Dataset, s: Dataset, k: int,
                     batch_format="pyarrow").materialize()
 
     def keep_resolved(t: pa.Table) -> pa.Table:
-        return t.filter(pc.greater_equal(t["s_id"], 0)) \
-            .select(["r_id", "s_id", "dist2"])
+        m = t.filter(pc.greater_equal(t["s_id"], 0))
+        return pa.table({
+            "r_id": m["r_id"], "s_id": m["s_id"],
+            "rank": pa.array(m["dist2"].to_numpy(
+                zero_copy_only=False).astype(np.int64))})
 
     resolved = pass1.map_batches(keep_resolved, batch_format="pyarrow")
 
@@ -290,7 +303,7 @@ def knn_join(r: Dataset, s: Dataset, k: int,
             .groupby("part").map_groups(_make_range_kernel(chunk),
                                         batch_format="pyarrow")
 
-    cand_sets = [resolved]
+    cand_sets = []
     if known.count() > 0:
         cand_sets.append(range_pass(known))
 
@@ -330,6 +343,9 @@ def knn_join(r: Dataset, s: Dataset, k: int,
             raise RuntimeError("knn_join: radius expansion did not "
                                "converge")
 
+    if not cand_sets:
+        return resolved                 # everything boundary-resolved
+
     all_cand = cand_sets[0]
     for c in cand_sets[1:]:
         all_cand = all_cand.union(c)
@@ -341,5 +357,8 @@ def knn_join(r: Dataset, s: Dataset, k: int,
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
         return g[["r_id", "s_id", "rank"]]
 
-    return all_cand.groupby("r_id").map_groups(topk,
-                                               batch_format="pandas")
+    # only the expansion-pass minority pays the result-sized merge; the
+    # boundary-resolved majority was ranked inside the pass-1 kernel
+    merged = all_cand.groupby("r_id").map_groups(topk,
+                                                 batch_format="pandas")
+    return resolved.union(merged)
