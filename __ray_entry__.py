@@ -229,7 +229,7 @@ def _q_knn_join_points(sf_dir: str):
     """Exact distributed kNN JOIN (every R point -> its 5 nearest event
     points): cell-local boundary-resolved pass + proven-radius expansion,
     no broadcast of R (pipelines/knn_join.py).  R = events subset
-    (event_id %% 25 == 0), S = all event points."""
+    (event_id % 25 == 0), S = all event points."""
     import pyarrow as pa
     from hecatoncheir_ray.pipelines.knn_join import knn_join
 
