@@ -395,6 +395,32 @@ def run_skew() -> dict:
             "num_cpus": NUM_CPUS}
 
 
+def run_knnjoin() -> dict:
+    """kNN-join throughput at the bench tier: events subset (id % 25 == 0)
+    vs all event points, k=5 (same shape as the driver query)."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    import __ray_entry__ as entrymod
+
+    best, rows = None, 0
+    for _ in range(2):
+        t0 = time.time()
+        rows = len(entrymod.queries()["knn_join_points"](SF_DIR)
+                   .to_pandas())
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    ray.shutdown()
+    return {"metric": "knn_join_seconds", "value": round(best, 3),
+            "unit": "sec", "result_rows": rows,
+            "rows_per_sec": round(rows / best, 1),
+            "sf": SF_DIR, "num_cpus": NUM_CPUS}
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
@@ -404,5 +430,7 @@ if __name__ == "__main__":
         print(json.dumps(run_april()))
     elif "--skew" in sys.argv:
         print(json.dumps(run_skew()))
+    elif "--knnjoin" in sys.argv:
+        print(json.dumps(run_knnjoin()))
     else:
         print(json.dumps(run_bench()))
