@@ -420,6 +420,10 @@ def _q_ann_topk_ip(sf_dir: str):
 
 
 def _q_minhash_near_dups(sf_dir: str):
+    """Bit-exact SQL twin: minhash_near_dups_sql rebuilds shingle hashes,
+    _mix, the 64 permutations AND the LSH band collisions in DuckDB, so
+    the candidate sets (not just the verified pairs) match by
+    construction."""
     from hecatoncheir_ray.functions.dedup import minhash_near_dups
     return minhash_near_dups(_docs(sf_dir), threshold=0.6)
 
@@ -901,6 +905,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": _dedup.embedding_near_dups_sql(
             derive.sql_embeddings_with_dups_long(), threshold=0.95),
         "simhash_near_dups": _dedup.simhash_near_dups_sql(max_hamming=3),
+        "minhash_near_dups": _dedup.minhash_near_dups_sql(threshold=0.6),
         "doc_lang_hist": ("SELECT lang_guess, COUNT(*) AS n FROM ("
                           + _text.lang_id_sql() + ") GROUP BY 1"),
         "doc_top_tokens": _text.top_tokens_sql(20),

@@ -22,6 +22,8 @@ the tens).  A corpus dominated by byte-identical docs should run
 * exact:     content-hash groupby, keep min id per group (SQL twin).
 * MinHash+LSH: char-shingle -> k permutations -> b bands x r rows; a pair
   collides with prob 1-(1-J^r)^b.  Candidates verified with EXACT Jaccard.
+  Bit-exact SQL twin (``minhash_near_dups_sql``) rebuilds the whole
+  pipeline in DuckDB, LSH banding included.
 * SimHash:   64-bit token-hash majority; 4x16-bit bands guarantee (by
   pigeonhole) that hamming distance <= 3 collides in >= 1 band ->
   candidate set is EXACT for threshold 3.
@@ -376,6 +378,112 @@ def minhash_near_dups(docs: Dataset, threshold: float = 0.6,
         .map_batches(sig_rows, batch_format="pandas") \
         .groupby("bucket").map_groups(verify_group, batch_format="pandas")
     return _sorted_pairs_df(pairs)
+
+
+def _sql_umul64(a: str) -> str:
+    """HUGEINT expression for (a * {b}) mod 2**64 with a in [0, 2**64).
+
+    DuckDB UBIGINT multiply overflows instead of wrapping, and
+    HUGEINT*HUGEINT of two 64-bit values overflows the 128-bit type, so
+    wrap-around multiply is done by 32-bit limb decomposition — every
+    intermediate stays < 2**97.  Returns a format string with one ``{b}``
+    slot for the (constant) multiplier."""
+    return (f"CAST(((({a})%4294967296)*(({{b}})%4294967296)"
+            f"+(((({a})%4294967296)*(({{b}})//4294967296)"
+            f"+(({a})//4294967296)*(({{b}})%4294967296))%4294967296)"
+            f"*4294967296)%18446744073709551616 AS UBIGINT)")
+
+
+def _sql_mix_ctes(name: str, src: str, keys: str, expr: str) -> str:
+    """CTE chain applying ``_mix`` (xor-shift / wrap-multiply avalanche) to
+    UBIGINT expression ``expr`` of relation ``src``; the final CTE is
+    ``{name}`` with columns ``{keys}, v``.  Bit-exact vs the numpy `_mix`
+    (verified for the full uint64 range boundaries in tests)."""
+    p1 = int(_P1)
+    p2 = int(_P2)
+    m1 = _sql_umul64("CAST(v AS HUGEINT)").format(b=p1)
+    m2 = _sql_umul64("CAST(v AS HUGEINT)").format(b=p2)
+    return f"""
+        {name}_s1 AS (SELECT {keys}, CAST({expr} AS UBIGINT) AS v
+                      FROM {src}),
+        {name}_s2 AS (SELECT {keys}, xor(v, v >> 33) AS v FROM {name}_s1),
+        {name}_s3 AS (SELECT {keys}, {m1} AS v FROM {name}_s2),
+        {name}_s4 AS (SELECT {keys}, xor(v, v >> 29) AS v FROM {name}_s3),
+        {name}_s5 AS (SELECT {keys}, {m2} AS v FROM {name}_s4),
+        {name} AS (SELECT {keys}, xor(v, v >> 32) AS v FROM {name}_s5)"""
+
+
+def minhash_near_dups_sql(threshold: float = 0.6, num_perm: int = 64,
+                          bands: int = 32, shingle_k: int = 5,
+                          seed: int = 1) -> str:
+    """DuckDB twin of ``minhash_near_dups`` — the FULL pipeline rebuilt in
+    SQL, not a brute-force stand-in: FNV-1a-style char-shingle hashes,
+    `_mix` avalanche (wrap-around 64-bit multiplies via 32-bit limbs),
+    the 64 MinHash permutations, LSH banding (a pair is a candidate iff
+    some band's r signature values are all equal — exactly the Ray
+    bucket-key collision, since the blake2b band key collides iff the band
+    bytes are equal), and the identical IEEE-double Jaccard threshold test.
+    Candidate sets therefore match by construction, not by measured recall.
+
+    Assumes ASCII text (fixture-checked: utf-8 bytes == code points, so
+    ``ord(substr())`` reproduces the byte-level shingles) and
+    len(text) >= shingle_k (no zero-padding branch)."""
+    k = shingle_k
+    fnv = 1099511628211
+    m64 = 1 << 64
+    # h = c0*F^(k-1) + ... + c_{k-1}  (mod 2^64); ci < 128 so each term
+    # fits HUGEINT without limb tricks
+    pows = [pow(fnv, k - 1 - j, m64) for j in range(k)]
+    hterms = " + ".join(
+        f"CAST(ord(substr(t, i+{j}, 1)) AS HUGEINT)*{p}"
+        for j, p in enumerate(pows))
+    salt_mult = ((seed * 2 + 1) * int(_P1)) % m64
+    r = num_perm // bands
+    shingle_mix = _sql_mix_ctes(
+        "shv", "fnv", "doc_id", "v")
+    salt_mix = _sql_mix_ctes(
+        "salt", "perm", "p",
+        f"CAST((CAST(p AS HUGEINT) * {salt_mult}) % {m64} AS UBIGINT)")
+    perm_mix = _sql_mix_ctes(
+        "pmx", "shsalt", "doc_id, p", "xor(s, salt)")
+    return f"""
+        WITH docs0 AS (SELECT doc_id, COALESCE(text, '') AS t
+                       FROM documents),
+        pos AS (SELECT doc_id, t,
+                       unnest(generate_series(1, length(t) - {k - 1}))
+                       AS i
+                FROM docs0),
+        fnv AS (SELECT doc_id,
+                       CAST(({hterms}) % {m64} AS UBIGINT) AS v
+                FROM pos),
+        {shingle_mix},
+        sh AS (SELECT DISTINCT doc_id, v AS s FROM shv),
+        nsz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        perm AS (SELECT unnest(generate_series(1, {num_perm})) AS p),
+        {salt_mix},
+        shsalt AS (SELECT sh.doc_id, salt.p, sh.s, salt.v AS salt
+                   FROM sh CROSS JOIN salt),
+        {perm_mix},
+        sig AS (SELECT doc_id, p, MIN(v) AS m FROM pmx GROUP BY 1, 2),
+        band AS (SELECT doc_id, (p - 1) // {r} AS b,
+                        LIST(m ORDER BY p) AS ms
+                 FROM sig GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT x.doc_id AS ida, y.doc_id AS idb
+                 FROM band x JOIN band y
+                   ON x.b = y.b AND x.ms = y.ms AND x.doc_id < y.doc_id),
+        ints AS (SELECT c.ida, c.idb, COUNT(*) AS isz
+                 FROM cand c
+                 JOIN sh a ON a.doc_id = c.ida
+                 JOIN sh b2 ON b2.doc_id = c.idb AND b2.s = a.s
+                 GROUP BY 1, 2)
+        SELECT i.ida AS doc_id_a, i.idb AS doc_id_b
+        FROM ints i
+        JOIN nsz na ON na.doc_id = i.ida
+        JOIN nsz nb ON nb.doc_id = i.idb
+        WHERE CAST(i.isz AS DOUBLE)
+              / CAST(na.n + nb.n - i.isz AS DOUBLE) >= {threshold}
+        ORDER BY 1, 2
+    """
 
 
 def simhash_near_dups(docs: Dataset, max_hamming: int = 3,

@@ -119,6 +119,40 @@ def test_minhash_vs_brute(ray_session):
     assert len(exp) > 0
 
 
+def test_minhash_sql_twin(ray_session):
+    """Full-pipeline DuckDB twin: FNV shingles + _mix + 64 perms + LSH
+    banding rebuilt in SQL must emit the identical pair set."""
+    import duckdb
+    from hecatoncheir_ray.functions.dedup import (minhash_near_dups,
+                                                  minhash_near_dups_sql)
+    df = _corpus_with_dupes()
+    got = minhash_near_dups(rd.from_pandas(df), threshold=0.7)
+    con = duckdb.connect()
+    con.register("documents", df)
+    exp = con.execute(minhash_near_dups_sql(threshold=0.7)).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True).astype("int64"),
+        exp.reset_index(drop=True).astype("int64"))
+    assert len(exp) > 0
+
+
+def test_mix_sql_parity():
+    """SQL limb-decomposed wrap-multiply mix == numpy _mix at the uint64
+    boundaries (the overflow-sensitive inputs)."""
+    import duckdb
+    from hecatoncheir_ray.functions.dedup import _mix, _sql_mix_ctes
+    vals = [0, 1, 2**32 - 1, 2**32, 2**63, 2**64 - 1, 0xDEADBEEF12345678]
+    con = duckdb.connect()
+    con.register("vin", pd.DataFrame({"k": range(len(vals)),
+                                      "x": np.array(vals,
+                                                    dtype=np.uint64)}))
+    sql = ("WITH " + _sql_mix_ctes("mx", "vin", "k", "x")
+           + " SELECT v FROM mx ORDER BY k")
+    got = [int(r[0]) for r in con.execute(sql).fetchall()]
+    want = _mix(np.array(vals, dtype=np.uint64)).tolist()
+    assert got == want
+
+
 def test_simhash_exact_for_hamming3(ray_session):
     from hecatoncheir_ray.functions.dedup import (hamming64,
                                                   simhash64,
