@@ -428,6 +428,17 @@ def _q_minhash_near_dups(sf_dir: str):
     return minhash_near_dups(_docs(sf_dir), threshold=0.6)
 
 
+def _q_near_dup_clusters(sf_dir: str):
+    """Distributed connected components (alternating large/small-star)
+    over the MinHash near-dup pairs: every doc labeled with its
+    component's min doc_id.  Oracle: recursive CTE over the bit-exact
+    minhash pair SQL."""
+    from hecatoncheir_ray.functions.dedup import (minhash_near_dups,
+                                                  near_dup_clusters)
+    pairs = minhash_near_dups(_docs(sf_dir), threshold=0.6)
+    return near_dup_clusters(_docs(sf_dir), pairs)
+
+
 def _q_simhash_near_dups(sf_dir: str):
     """md5 token-hash mode: signatures rebuildable in DuckDB
     (md5_number_lower) and the 4-band pigeonhole makes the candidate set
@@ -558,6 +569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ip": _q_ann_topk_ip,
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash_near_dups": _q_simhash_near_dups,
+        "near_dup_clusters": _q_near_dup_clusters,
         "embedding_near_dups": _q_embedding_near_dups,
         "ann_topk_cosine": _q_ann_topk_cosine,
         "doc_bpe_tokens": _q_doc_bpe_tokens,
@@ -906,6 +918,8 @@ def oracle_sql() -> dict[str, str]:
             derive.sql_embeddings_with_dups_long(), threshold=0.95),
         "simhash_near_dups": _dedup.simhash_near_dups_sql(max_hamming=3),
         "minhash_near_dups": _dedup.minhash_near_dups_sql(threshold=0.6),
+        "near_dup_clusters": _dedup.near_dup_clusters_sql(
+            _dedup.minhash_near_dups_sql(threshold=0.6)),
         "doc_lang_hist": ("SELECT lang_guess, COUNT(*) AS n FROM ("
                           + _text.lang_id_sql() + ") GROUP BY 1"),
         "doc_top_tokens": _text.top_tokens_sql(20),

@@ -636,6 +636,190 @@ def embedding_near_dups(vecs: Dataset, threshold: float = 0.95,
         columns={"doc_id_a": "vec_id_a", "doc_id_b": "vec_id_b"})
 
 
+_EMPTY_EDGES = pd.DataFrame({"u": pd.Series([], dtype=np.int64),
+                             "v": pd.Series([], dtype=np.int64)})
+
+
+def _star_partition(g: pd.DataFrame, large: bool) -> pd.DataFrame:
+    """One alternating-star step over a hash partition's adjacency rows
+    (columns k = group node, v = neighbor), vectorized with sorted-segment
+    numpy.  large=True: emit (v, min(N(k) u {k})) for v > k.  large=False
+    (small-star over larger->smaller edges): emit (x, min(N(k))) for
+    x in N(k) u {k}, x != min."""
+    if len(g) == 0:
+        return _EMPTY_EDGES.copy()
+    k = g["k"].to_numpy().astype(np.int64)
+    v = g["v"].to_numpy().astype(np.int64)
+    order = np.lexsort((v, k))
+    k, v = k[order], v[order]
+    new = np.concatenate([[True], k[1:] != k[:-1]])
+    seg = np.cumsum(new) - 1
+    nseg = seg[-1] + 1 if len(seg) else 0
+    m = np.full(nseg, np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(m, seg, v)
+    if large:
+        m = np.minimum(m, k[new])          # min(N(k) u {k})
+        keep = v > k
+        out_u, out_v = v[keep], m[seg][keep]
+    else:
+        keep = v != m[seg]                 # N(k) \ {min}
+        out_u = np.concatenate([v[keep], k[new]])
+        out_v = np.concatenate([m[seg][keep], m])
+    if len(out_u) == 0:
+        return _EMPTY_EDGES.copy()
+    e = np.unique(np.stack([out_u, out_v], axis=1), axis=0)
+    return pd.DataFrame({"u": e[:, 0], "v": e[:, 1]})
+
+
+def connected_components(edges: Dataset, num_parts: int = 256,
+                         max_rounds: int = 50) -> Dataset:
+    """Distributed connected components over an (u, v) edge Dataset ->
+    star edges (node, comp) with comp = the component's minimum node id
+    (every non-minimum node gets exactly one output row).
+
+    Alternating large-star / small-star (Kiveris et al., 'Connected
+    Components in MapReduce and Beyond'): each half-round is ONE
+    hash-partitioned groupby + a vectorized segment kernel — no driver-side
+    graph, no label-propagation join per hop, O(log^2 n) rounds worst case
+    (2-3 in practice for near-dup clusters).  The edge set (pair-scale,
+    not corpus-scale) is the only thing materialized per round.
+
+    Convergence is detected by a (count, checksum) fixpoint over the edge
+    multiset; the checksum is an order-independent sum of 32-bit-masked
+    `_mix` hashes so a changed edge set collides with probability ~2^-32
+    per round (and a missed fixpoint only costs one extra identical
+    round)."""
+    from ray.data.aggregate import Sum
+
+    def key_large(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["u"].to_numpy().astype(np.int64)
+        v = df["v"].to_numpy().astype(np.int64)
+        kk = np.concatenate([u, v])
+        vv = np.concatenate([v, u])
+        keep = kk != vv
+        kk, vv = kk[keep], vv[keep]
+        return pd.DataFrame({"k": kk, "v": vv,
+                             "part": _mix(kk.astype(np.uint64))
+                             .astype(np.int64) % num_parts})
+
+    def key_small(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["u"].to_numpy().astype(np.int64)
+        v = df["v"].to_numpy().astype(np.int64)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        hi, lo = np.maximum(u, v), np.minimum(u, v)
+        return pd.DataFrame({"k": hi, "v": lo,
+                             "part": _mix(hi.astype(np.uint64))
+                             .astype(np.int64) % num_parts})
+
+    def chk_col(df: pd.DataFrame) -> pd.DataFrame:
+        h = (_mix(df["u"].to_numpy().astype(np.uint64) * np.uint64(3))
+             ^ _mix(df["v"].to_numpy().astype(np.uint64)))
+        return pd.DataFrame({"c": (h & np.uint64(0xFFFFFFFF))
+                             .astype(np.int64), "n": 1})
+
+    prev = None
+    for _ in range(max_rounds):
+        for large in (True, False):
+            edges = edges \
+                .map_batches(key_large if large else key_small,
+                             batch_format="pandas") \
+                .groupby("part") \
+                .map_groups(lambda g, lg=large: _star_partition(g, lg),
+                            batch_format="pandas") \
+                .materialize()
+        stat = edges.map_batches(chk_col, batch_format="pandas") \
+            .aggregate(Sum("c", alias_name="c"), Sum("n", alias_name="n"))
+        cur = (stat.get("c"), stat.get("n"))
+        if cur == prev or cur == (None, None):
+            break
+        prev = cur
+    return edges
+
+
+def near_dup_clusters(docs: Dataset, pairs) -> Dataset:
+    """(doc_id, cluster_id) for EVERY document: cluster_id = min doc_id of
+    the near-duplicate connected component (own id for singletons).
+
+    ``pairs`` is any near-dup pair table — a Dataset or pandas frame with
+    (doc_id_a, doc_id_b) — e.g. the output of minhash_near_dups.  The
+    star edges from connected_components are unioned with identity rows
+    and reduced by a single Min groupby; nothing corpus-sized lands on
+    the driver."""
+    import ray.data
+    from ray.data.aggregate import Min
+
+    if isinstance(pairs, pd.DataFrame):
+        edges_in = ray.data.from_pandas(
+            pairs if len(pairs) else _EMPTY_PAIRS.copy())
+    else:
+        edges_in = pairs
+
+    def as_edges(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"u": df["doc_id_a"].to_numpy().astype(np.int64),
+             "v": df["doc_id_b"].to_numpy().astype(np.int64)})
+
+    stars = connected_components(
+        edges_in.map_batches(as_edges, batch_format="pandas"))
+
+    def ident(df: pd.DataFrame) -> pd.DataFrame:
+        i = df["doc_id"].to_numpy().astype(np.int64)
+        return pd.DataFrame({"u": i, "v": i})
+
+    return docs.select_columns(["doc_id"]) \
+        .map_batches(ident, batch_format="pandas") \
+        .union(stars) \
+        .groupby("u").aggregate(Min("v", alias_name="cluster_id")) \
+        .map_batches(lambda df: df.rename(columns={"u": "doc_id"}),
+                     batch_format="pandas")
+
+
+def dedup_canonical(docs: Dataset, pairs) -> Dataset:
+    """Corpus minus near-duplicates: keep only each cluster's minimum
+    doc_id (the canonical representative), payload intact — the standard
+    final step of a dedup pipeline.  One extra hash join of the (tiny
+    relative to the corpus) non-canonical id set against the docs."""
+    clusters = near_dup_clusters(docs, pairs)
+
+    def drop_ids(df: pd.DataFrame) -> pd.DataFrame:
+        bad = df[df["doc_id"] != df["cluster_id"]]
+        return pd.DataFrame({"doc_id":
+                             bad["doc_id"].to_numpy().astype(np.int64)})
+
+    drop = np.sort(np.array(
+        [r["doc_id"] for r in
+         clusters.map_batches(drop_ids, batch_format="pandas").take_all()],
+        dtype=np.int64))
+    # the drop set is pair-scale (num near-dups, not corpus size); ship it
+    # once in the closure (ray.put under the hood); the corpus streams
+    # through a vectorized isin mask
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        idx = np.searchsorted(drop, ids)
+        idx[idx >= len(drop)] = max(len(drop) - 1, 0)
+        mask = ~((len(drop) > 0) & (drop[idx] == ids))
+        return df[mask]
+
+    return docs.map_batches(keep, batch_format="pandas")
+
+
+def near_dup_clusters_sql(pairs_sql: str) -> str:
+    """DuckDB twin of near_dup_clusters: min reachable doc_id per node via
+    a recursive CTE over the (embedded) pair query — e.g.
+    near_dup_clusters_sql(minhash_near_dups_sql())."""
+    return f"""
+        WITH RECURSIVE pairs AS (SELECT * FROM ({pairs_sql})),
+        edges AS (SELECT doc_id_a AS u, doc_id_b AS v FROM pairs
+                  UNION ALL
+                  SELECT doc_id_b, doc_id_a FROM pairs),
+        reach AS (SELECT doc_id AS u, doc_id AS v FROM documents
+                  UNION
+                  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v)
+        SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY 1
+    """
+
+
 def embedding_near_dups_sql(long_src: str, threshold: float = 0.95) -> str:
     """DuckDB twin of embedding_near_dups over a long-form vector source
     (vec_id, i, v DOUBLE): brute-force all-pairs integer-cosine test with

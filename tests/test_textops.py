@@ -153,6 +153,75 @@ def test_mix_sql_parity():
     assert got == want
 
 
+def _uf_oracle(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return [find(i) for i in range(n_nodes)]
+
+
+def test_connected_components_vs_union_find(ray_session):
+    from hecatoncheir_ray.functions.dedup import near_dup_clusters
+    rng = np.random.default_rng(0)
+    for n, m in [(50, 40), (120, 200), (30, 0)]:
+        e = rng.integers(0, n, size=(m, 2))
+        docs = rd.from_pandas(
+            pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64)}))
+        pairs = pd.DataFrame({"doc_id_a": e[:, 0].astype(np.int64),
+                              "doc_id_b": e[:, 1].astype(np.int64)})
+        got = near_dup_clusters(docs, pairs).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert len(got) == n
+        assert got["cluster_id"].tolist() == _uf_oracle(n, e.tolist())
+
+
+def test_connected_components_chain(ray_session):
+    """512-node path graph: label propagation would need 511 hops; the
+    alternating-star rounds collapse it within the round cap."""
+    from hecatoncheir_ray.functions.dedup import (dedup_canonical,
+                                                  near_dup_clusters)
+    n = 512
+    docs = rd.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64)}))
+    pairs = pd.DataFrame(
+        {"doc_id_a": np.arange(n - 1, dtype=np.int64),
+         "doc_id_b": np.arange(1, n, dtype=np.int64)})
+    got = near_dup_clusters(docs, pairs).to_pandas()
+    assert len(got) == n and (got["cluster_id"] == 0).all()
+    surv = dedup_canonical(docs, pairs).to_pandas()
+    assert surv["doc_id"].tolist() == [0]
+
+
+def test_near_dup_clusters_sql_twin(ray_session):
+    import duckdb
+    from hecatoncheir_ray.functions.dedup import (minhash_near_dups,
+                                                  minhash_near_dups_sql,
+                                                  near_dup_clusters,
+                                                  near_dup_clusters_sql)
+    df = _corpus_with_dupes()
+    docs = rd.from_pandas(df)
+    pairs = minhash_near_dups(docs, threshold=0.7)
+    got = near_dup_clusters(docs, pairs).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", df)
+    exp = con.execute(
+        near_dup_clusters_sql(minhash_near_dups_sql(threshold=0.7))
+        + " ORDER BY 1").df()
+    pd.testing.assert_frame_equal(got.astype("int64"),
+                                  exp.astype("int64"))
+    assert (exp["doc_id"] != exp["cluster_id"]).any()
+
+
 def test_simhash_exact_for_hamming3(ray_session):
     from hecatoncheir_ray.functions.dedup import (hamming64,
                                                   simhash64,
