@@ -34,6 +34,7 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 from hecatoncheir_ray.config import EngineConfig, TIGER_US_BOUNDS  # noqa: E402
+from hecatoncheir_ray.functions import asof as _asof  # noqa: E402
 from hecatoncheir_ray.functions import dedup as _dedup  # noqa: E402
 from hecatoncheir_ray.functions import simsearch as _simsearch  # noqa: E402
 from hecatoncheir_ray.functions import text as _text  # noqa: E402
@@ -528,6 +529,31 @@ def _q_event_window_agg(sf_dir: str):
         rd.read_parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_event_asof_user(sf_dir: str):
+    """Keyed as-of join: every click attributed to the user's most recent
+    prior view (one hash shuffle on user_id, vectorized multi-key
+    searchsorted merge per partition).  Oracle: DuckDB ASOF JOIN with the
+    same deterministic tie rule."""
+    import ray.data as rd
+    from hecatoncheir_ray.functions.asof import asof_join
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet")
+    return asof_join(ev.filter(expr="event_type == 'click'"),
+                     ev.filter(expr="event_type == 'view'"))
+
+
+def _q_event_asof_global(sf_dir: str):
+    """Keyless global as-of join (time buckets + prefix-carry of each
+    bucket's last right row): every error matched to the most recent
+    click anywhere in the stream."""
+    import ray.data as rd
+    from hecatoncheir_ray.functions.asof import asof_join_global
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet")
+    out = asof_join_global(ev.filter(expr="event_type == 'error'"),
+                           ev.filter(expr="event_type == 'click'"))
+    return out.drop_columns(["bucket"]) \
+        if "bucket" in out.schema().names else out
+
+
 def _q_ann_topk_cosine(sf_dir: str):
     """Exact cosine top-k in the quantized-normalized integer domain
     (simsearch qnorm) — bit-exact SQL twin.  The float brute/LSH/IVF
@@ -575,6 +601,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bpe_tokens": _q_doc_bpe_tokens,
         "event_window_agg": _q_event_window_agg,
         "event_hopping_agg": _q_event_hopping_agg,
+        "event_asof_user": _q_event_asof_user,
+        "event_asof_global": _q_event_asof_global,
         "doc_sample": _q_doc_sample,
         "doc_lang_hist": _q_doc_lang_hist,
         "doc_top_tokens": _q_doc_top_tokens,
@@ -910,6 +938,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_bpe_tokens": _text.BPE_TOKENS_SQL,
         "event_window_agg": _windows.tumbling_window_agg_sql(),
         "event_hopping_agg": _windows.hopping_window_agg_sql(),
+        "event_asof_user": _asof.asof_join_sql("click", "view", by=True),
+        "event_asof_global": _asof.asof_join_sql("error", "click",
+                                                 by=False),
         "doc_sample": _text.doc_sample_sql(),
         "ann_topk_cosine": _simsearch.topk_cosine_qnorm_sql(_ANN_QIDS, k=10),
         "ann_topk_ivf_store":
