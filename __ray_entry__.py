@@ -554,6 +554,27 @@ def _q_event_asof_global(sf_dir: str):
         if "bucket" in out.schema().names else out
 
 
+def _q_event_interval_join(sf_dir: str):
+    """Time-range join (click inside view's 10-minute window) run THROUGH
+    the spatial engine: time embedded as a 1-D dataspace, intervals as
+    zero-height boxes, covered_by predicate — one time-partitioned
+    shuffle with the engine's dedup/salting/slicing for free."""
+    import pandas as pd
+    import ray.data as rd
+    from hecatoncheir_ray.pipelines.interval_join import interval_join
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(expr="event_type == 'click'")
+
+    def to_windows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_id": df["event_id"],
+                             "start": df["ts"],
+                             "end": df["ts"] + pd.Timedelta(minutes=10)})
+
+    views = ev.filter(expr="event_type == 'view'") \
+        .map_batches(to_windows, batch_format="pandas")
+    return interval_join(clicks, views)
+
+
 def _q_ann_topk_cosine(sf_dir: str):
     """Exact cosine top-k in the quantized-normalized integer domain
     (simsearch qnorm) — bit-exact SQL twin.  The float brute/LSH/IVF
@@ -603,6 +624,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_hopping_agg": _q_event_hopping_agg,
         "event_asof_user": _q_event_asof_user,
         "event_asof_global": _q_event_asof_global,
+        "event_interval_join": _q_event_interval_join,
         "doc_sample": _q_doc_sample,
         "doc_lang_hist": _q_doc_lang_hist,
         "doc_top_tokens": _q_doc_top_tokens,
@@ -941,6 +963,11 @@ def oracle_sql() -> dict[str, str]:
         "event_asof_user": _asof.asof_join_sql("click", "view", by=True),
         "event_asof_global": _asof.asof_join_sql("error", "click",
                                                  by=False),
+        "event_interval_join": """
+            SELECT c.event_id AS r_id, v.event_id AS s_id
+            FROM events c, events v
+            WHERE c.event_type = 'click' AND v.event_type = 'view'
+              AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE""",
         "doc_sample": _text.doc_sample_sql(),
         "ann_topk_cosine": _simsearch.topk_cosine_qnorm_sql(_ANN_QIDS, k=10),
         "ann_topk_ivf_store":
