@@ -35,6 +35,7 @@ if _REPO not in sys.path:
 
 from hecatoncheir_ray.config import EngineConfig, TIGER_US_BOUNDS  # noqa: E402
 from hecatoncheir_ray.functions import asof as _asof  # noqa: E402
+from hecatoncheir_ray.pipelines import curation as _curation  # noqa: E402
 from hecatoncheir_ray.functions import dedup as _dedup  # noqa: E402
 from hecatoncheir_ray.functions import simsearch as _simsearch  # noqa: E402
 from hecatoncheir_ray.functions import text as _text  # noqa: E402
@@ -554,6 +555,17 @@ def _q_event_asof_global(sf_dir: str):
         if "bucket" in out.schema().names else out
 
 
+def _q_corpus_curation(sf_dir: str):
+    """Flagship training-data composition: quality gate -> language gate
+    -> exact dedup -> MinHash near-dup canonical dedup -> deterministic
+    content-hash sample, each stage streaming into the next; bit-exact
+    vs the composed stage oracles (at sf0.01: 500 -> 193 gated -> 10
+    near-dups dropped -> 83 sampled survivors)."""
+    import ray.data as rd
+    from hecatoncheir_ray.pipelines.curation import curate_corpus
+    return curate_corpus(rd.read_parquet(f"{sf_dir}/documents.parquet"))
+
+
 def _q_event_interval_join(sf_dir: str):
     """Time-range join (click inside view's 10-minute window) run THROUGH
     the spatial engine: time embedded as a 1-D dataspace, intervals as
@@ -625,6 +637,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_asof_user": _q_event_asof_user,
         "event_asof_global": _q_event_asof_global,
         "event_interval_join": _q_event_interval_join,
+        "corpus_curation": _q_corpus_curation,
         "doc_sample": _q_doc_sample,
         "doc_lang_hist": _q_doc_lang_hist,
         "doc_top_tokens": _q_doc_top_tokens,
@@ -968,6 +981,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events c, events v
             WHERE c.event_type = 'click' AND v.event_type = 'view'
               AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE""",
+        "corpus_curation": _curation.curate_corpus_sql(),
         "doc_sample": _text.doc_sample_sql(),
         "ann_topk_cosine": _simsearch.topk_cosine_qnorm_sql(_ANN_QIDS, k=10),
         "ann_topk_ivf_store":

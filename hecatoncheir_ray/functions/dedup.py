@@ -415,7 +415,7 @@ def _sql_mix_ctes(name: str, src: str, keys: str, expr: str) -> str:
 
 def minhash_near_dups_sql(threshold: float = 0.6, num_perm: int = 64,
                           bands: int = 32, shingle_k: int = 5,
-                          seed: int = 1) -> str:
+                          seed: int = 1, src: str = "documents") -> str:
     """DuckDB twin of ``minhash_near_dups`` — the FULL pipeline rebuilt in
     SQL, not a brute-force stand-in: FNV-1a-style char-shingle hashes,
     `_mix` avalanche (wrap-around 64-bit multiplies via 32-bit limbs),
@@ -448,7 +448,7 @@ def minhash_near_dups_sql(threshold: float = 0.6, num_perm: int = 64,
         "pmx", "shsalt", "doc_id, p", "xor(s, salt)")
     return f"""
         WITH docs0 AS (SELECT doc_id, COALESCE(text, '') AS t
-                       FROM documents),
+                       FROM {src}),
         pos AS (SELECT doc_id, t,
                        unnest(generate_series(1, length(t) - {k - 1}))
                        AS i
@@ -804,7 +804,7 @@ def dedup_canonical(docs: Dataset, pairs) -> Dataset:
     return docs.map_batches(keep, batch_format="pandas")
 
 
-def near_dup_clusters_sql(pairs_sql: str) -> str:
+def near_dup_clusters_sql(pairs_sql: str, src: str = "documents") -> str:
     """DuckDB twin of near_dup_clusters: min reachable doc_id per node via
     a recursive CTE over the (embedded) pair query — e.g.
     near_dup_clusters_sql(minhash_near_dups_sql())."""
@@ -813,7 +813,7 @@ def near_dup_clusters_sql(pairs_sql: str) -> str:
         edges AS (SELECT doc_id_a AS u, doc_id_b AS v FROM pairs
                   UNION ALL
                   SELECT doc_id_b, doc_id_a FROM pairs),
-        reach AS (SELECT doc_id AS u, doc_id AS v FROM documents
+        reach AS (SELECT doc_id AS u, doc_id AS v FROM {src}
                   UNION
                   SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v)
         SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY 1
