@@ -314,9 +314,9 @@ def _sorted_pairs_df(pairs: Dataset) -> pd.DataFrame:
         .reset_index(drop=True)
 
 
-def minhash_near_dups(docs: Dataset, threshold: float = 0.6,
-                      num_perm: int = 64, bands: int = 32,
-                      shingle_k: int = 5, seed: int = 1) -> pd.DataFrame:
+def minhash_near_dup_pairs(docs: Dataset, threshold: float = 0.6,
+                           num_perm: int = 64, bands: int = 32,
+                           shingle_k: int = 5, seed: int = 1) -> Dataset:
     """MinHash-LSH near-duplicate pairs, exact-Jaccard verified in-shuffle.
 
     bands x rows = num_perm; recall for J >= t is 1-(1-J^r)^b (with r=2,
@@ -324,7 +324,10 @@ def minhash_near_dups(docs: Dataset, threshold: float = 0.6,
     precision is 1.0.  Each bucket row carries the doc's shingle set and
     full signature; verification happens inside the band-bucket map_groups
     (membership-matrix Jaccard) and each pair is emitted from its lowest
-    colliding band only — the driver never sees documents or shingles."""
+    colliding band only — the driver never sees documents or shingles.
+    Returns the (doc_id_a, doc_id_b) pair DATASET (stays in the object
+    store — feed it to near_dup_clusters/dedup_canonical at scale);
+    ``minhash_near_dups`` is the driver-materializing wrapper."""
     r = num_perm // bands
 
     def sig_rows(df: pd.DataFrame) -> pd.DataFrame:
@@ -374,10 +377,19 @@ def minhash_near_dups(docs: Dataset, threshold: float = 0.6,
         return pd.DataFrame({"doc_id_a": ids[iu[ok]],
                              "doc_id_b": ids[ju[ok]]})
 
-    pairs = docs.select_columns(["doc_id", "text"]) \
+    return docs.select_columns(["doc_id", "text"]) \
         .map_batches(sig_rows, batch_format="pandas") \
         .groupby("bucket").map_groups(verify_group, batch_format="pandas")
-    return _sorted_pairs_df(pairs)
+
+
+def minhash_near_dups(docs: Dataset, threshold: float = 0.6,
+                      num_perm: int = 64, bands: int = 32,
+                      shingle_k: int = 5, seed: int = 1) -> pd.DataFrame:
+    """Driver-materialized (sorted) minhash_near_dup_pairs — for result
+    inspection and the oracle queries; cluster pipelines should consume
+    the Dataset variant."""
+    return _sorted_pairs_df(minhash_near_dup_pairs(
+        docs, threshold, num_perm, bands, shingle_k, seed))
 
 
 def _sql_umul64(a: str) -> str:
