@@ -24,7 +24,7 @@ import pandas as pd
 
 from ray.data import Dataset
 
-from ..functions.dedup import (dedup_canonical, minhash_near_dups,
+from ..functions.dedup import (dedup_canonical, minhash_near_dup_pairs,
                                minhash_near_dups_sql, near_dup_clusters_sql)
 from ..functions.text import lang_id, lang_id_sql, text_stats, text_stats_sql
 
@@ -65,10 +65,18 @@ def curate_corpus(docs: Dataset, min_quality: int = 815,
 
     gated = docs.select_columns(["doc_id", "text"]) \
         .map_batches(gate, batch_format="pandas")
+    # Three downstream consumers fan out from the survivor set (pair
+    # generation, cluster identity rows, canonical keep filter); pin the
+    # blocks once so the gate + exact-dedup shuffle doesn't re-execute per
+    # consumer.  Survivors are the post-gate minority of the corpus and
+    # the object store spills, so this is cheaper than 3x recomputation.
     surv = gated.groupby("hpart") \
-        .map_groups(exact_keep_min, batch_format="pandas")
+        .map_groups(exact_keep_min, batch_format="pandas") \
+        .materialize()
 
-    pairs = minhash_near_dups(surv, threshold=threshold)
+    # pair set stays a Dataset in the object store — the driver never
+    # sees documents, shingles, or pairs on this path
+    pairs = minhash_near_dup_pairs(surv, threshold=threshold)
     canon = dedup_canonical(surv, pairs)
 
     k = len(sample_hex_lt)
