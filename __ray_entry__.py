@@ -36,6 +36,7 @@ if _REPO not in sys.path:
 from hecatoncheir_ray.config import EngineConfig, TIGER_US_BOUNDS  # noqa: E402
 from hecatoncheir_ray.functions import asof as _asof  # noqa: E402
 from hecatoncheir_ray.pipelines import curation as _curation  # noqa: E402
+from hecatoncheir_ray.functions import clustering as _clustering  # noqa: E402
 from hecatoncheir_ray.functions import dedup as _dedup  # noqa: E402
 from hecatoncheir_ray.functions import simsearch as _simsearch  # noqa: E402
 from hecatoncheir_ray.functions import text as _text  # noqa: E402
@@ -595,6 +596,15 @@ def _q_ann_topk_cosine(sf_dir: str):
     return topk_cosine_qnorm(_vecs(sf_dir), _ANN_QIDS, k=10)
 
 
+def _q_emb_kmeans(sf_dir: str):
+    """Distributed integer-exact Lloyd k-means over the embeddings table
+    (seed ranking, per-round assignment + centroid update, and the final
+    assignment are all exact integer arithmetic) — the SQL twin unrolls
+    the identical iterations as chained CTEs (kmeans_sql)."""
+    from hecatoncheir_ray.functions.clustering import kmeans_assignments
+    return kmeans_assignments(_vecs(sf_dir), k=8, iters=4)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "box_join_pairs": _q_box_join_pairs,
@@ -642,6 +652,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_hist": _q_doc_lang_hist,
         "doc_top_tokens": _q_doc_top_tokens,
         "ann_topk_ivf_store": _q_ann_topk_ivf_store,
+        "emb_kmeans": _q_emb_kmeans,
         "audio_features": _q_audio_features,
         "video_frame_sample": _q_video_frame_sample,
     }
@@ -995,6 +1006,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_lang_hist": ("SELECT lang_guess, COUNT(*) AS n FROM ("
                           + _text.lang_id_sql() + ") GROUP BY 1"),
         "doc_top_tokens": _text.top_tokens_sql(20),
+        "emb_kmeans": _clustering.kmeans_sql(k=8, iters=4),
     }
 
 
