@@ -605,6 +605,16 @@ def _q_emb_kmeans(sf_dir: str):
     return kmeans_assignments(_vecs(sf_dir), k=8, iters=4)
 
 
+def _q_emb_cluster_sample(sf_dir: str):
+    """Cluster-balanced diversity sample: k-means the embeddings, keep
+    the 5 lowest-_mix-hash members of every cluster (deterministic
+    across reshards; two-level top-m, k-group shuffle)."""
+    from hecatoncheir_ray.functions.clustering import \
+        kmeans_stratified_sample
+    return kmeans_stratified_sample(_vecs(sf_dir), k=8, iters=4,
+                                    per_cluster=5)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "box_join_pairs": _q_box_join_pairs,
@@ -653,6 +663,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_tokens": _q_doc_top_tokens,
         "ann_topk_ivf_store": _q_ann_topk_ivf_store,
         "emb_kmeans": _q_emb_kmeans,
+        "emb_cluster_sample": _q_emb_cluster_sample,
         "audio_features": _q_audio_features,
         "video_frame_sample": _q_video_frame_sample,
     }
@@ -1007,6 +1018,8 @@ def oracle_sql() -> dict[str, str]:
                           + _text.lang_id_sql() + ") GROUP BY 1"),
         "doc_top_tokens": _text.top_tokens_sql(20),
         "emb_kmeans": _clustering.kmeans_sql(k=8, iters=4),
+        "emb_cluster_sample": _clustering.kmeans_stratified_sample_sql(
+            k=8, iters=4, per_cluster=5),
     }
 
 

@@ -133,6 +133,52 @@ def kmeans_assignments(vecs: Dataset, k: int = 8,
     return kmeans_assign(vecs, kmeans_fit(vecs, k, iters))
 
 
+def kmeans_stratified_sample(vecs: Dataset, k: int = 8, iters: int = 4,
+                             per_cluster: int = 10) -> Dataset:
+    """Diversity sampling: k-means the corpus, keep the ``per_cluster``
+    members with the smallest (_mix(vec_id), vec_id) from EVERY cluster —
+    a cluster-balanced subsample (the standard recipe for trimming
+    over-represented modes from a training corpus), deterministic across
+    reshards.  Two-level top-m: per-batch local candidates, then one
+    k-group shuffle of <= per_cluster * blocks candidate rows."""
+    asg = kmeans_assignments(vecs, k, iters)
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["vec_id"].to_numpy().astype(np.int64)
+        cl = df["cluster"].to_numpy().astype(np.int64)
+        h = _mix(ids.astype(np.uint64)).astype(np.float64)
+        order = np.lexsort((ids, h, cl))
+        ids, cl, h = ids[order], cl[order], h[order]
+        new = np.concatenate([[True], cl[1:] != cl[:-1]])
+        starts = np.flatnonzero(new)
+        rank = np.arange(len(cl)) - starts[np.cumsum(new) - 1]
+        keep = rank < per_cluster
+        return pd.DataFrame({"vec_id": ids[keep], "cluster": cl[keep],
+                             "h": h[keep]})
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "vec_id"]).head(per_cluster)
+        return g[["vec_id", "cluster"]]
+
+    return asg.map_batches(local, batch_format="pandas") \
+        .groupby("cluster").map_groups(final, batch_format="pandas")
+
+
+def kmeans_stratified_sample_sql(k: int = 8, iters: int = 4,
+                                 per_cluster: int = 10) -> str:
+    """DuckDB twin: rank each kmeans_sql cluster by the same _mix hash."""
+    mix = _sql_mix_ctes("smx", "(SELECT DISTINCT vec_id FROM embeddings)",
+                        "vec_id", "CAST(vec_id AS UBIGINT)")
+    return f"""
+        WITH asg AS ({kmeans_sql(k, iters)}),{mix}
+        SELECT vec_id, cluster FROM (
+            SELECT a.vec_id, a.cluster,
+                   ROW_NUMBER() OVER (PARTITION BY a.cluster
+                                      ORDER BY m.v, a.vec_id) AS rn
+            FROM asg a JOIN smx m USING (vec_id))
+        WHERE rn <= {per_cluster}"""
+
+
 def kmeans_sql(k: int = 8, iters: int = 4,
                src_long: str | None = None) -> str:
     """DuckDB twin of ``kmeans_assignments`` — the full Lloyd loop

@@ -247,16 +247,27 @@ def train_centroids(vecs: Dataset, nlist: int = 16,
 
 
 def write_ivf_store(vecs: Dataset, out_dir: str, nlist: int = 16,
-                    train_sample: int = 512, seed: int = 13) -> str:
+                    train_sample: int = 512, seed: int = 13,
+                    centroids: np.ndarray | None = None) -> str:
     """IVF-partitioned embedding store: one parquet partition directory per
     inverted list (nearest centroid), centroids in a sidecar.
 
     The ANN scale path for 10^12 embeddings: queries read ONLY their
     nprobe probed list directories — storage-level pruning, the embedding
-    analog of sources.store's cell-partitioned spatial layout."""
+    analog of sources.store's cell-partitioned spatial layout.
+
+    ``centroids`` overrides the sample trainer with externally trained
+    rows (any scale — they are re-normalized here); pass
+    ``clustering.kmeans_fit(...) / QS`` to build the lists from
+    FULL-CORPUS Lloyd centroids instead of a driver-side sample."""
     import json
     import os
-    C = train_centroids(vecs, nlist, train_sample, seed)
+    if centroids is not None:
+        C = np.asarray(centroids, dtype=np.float64)
+        C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True),
+                           1e-300)
+    else:
+        C = train_centroids(vecs, nlist, train_sample, seed)
     c_ref = ray.put(C)
 
     def tag(df: pd.DataFrame) -> pd.DataFrame:

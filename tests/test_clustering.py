@@ -6,8 +6,9 @@ import numpy as np
 import pandas as pd
 import ray.data as rd
 
-from hecatoncheir_ray.functions.clustering import (kmeans_assignments,
-                                                   kmeans_fit, kmeans_sql)
+from hecatoncheir_ray.functions.clustering import (
+    kmeans_assignments, kmeans_fit, kmeans_sql, kmeans_stratified_sample,
+    kmeans_stratified_sample_sql)
 
 
 def _fixture(n=200, d=16, k=6, seed=7):
@@ -47,6 +48,24 @@ def test_kmeans_batch_boundary_invariant(ray_session):
                            k=6, iters=3).to_pandas() \
         .sort_values("vec_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_stratified_sample_matches_sql_twin(ray_session):
+    df, X = _fixture()
+    got = kmeans_stratified_sample(rd.from_pandas(df).repartition(5),
+                                   k=6, iters=3, per_cluster=4) \
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("embeddings",
+                 pd.DataFrame({"vec_id": df["vec_id"],
+                               "embedding": [list(map(float, x))
+                                             for x in X]}))
+    exp = con.execute(kmeans_stratified_sample_sql(
+        k=6, iters=3, per_cluster=4)).df() \
+        .sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp[got.columns.tolist()],
+                                  check_dtype=False)
+    assert (got["cluster"].value_counts() == 4).all()
 
 
 def test_kmeans_empty_cluster_keeps_centroid(ray_session):

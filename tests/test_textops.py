@@ -397,3 +397,22 @@ def test_ivf_store_prunes_and_recalls(ray_session, tmp_path):
     got2 = topk_cosine_ivf_store(out, Q, k=1, nprobe=2)
     self_ids = [int(r["vec_id"]) for r in rows]
     assert list(got2["vec_id"]) == self_ids
+
+
+def test_ivf_store_from_kmeans_centroids(ray_session, tmp_path):
+    """Full-corpus Lloyd centroids as the IVF trainer: nprobe == nlist
+    stays exact, and every vector lands in its nearest-centroid list."""
+    from hecatoncheir_ray.functions.clustering import kmeans_fit, _QS
+    from hecatoncheir_ray.functions.simsearch import (topk_cosine_brute,
+                                                      topk_cosine_ivf_store,
+                                                      write_ivf_store)
+    out = str(tmp_path / "ivf_km")
+    C = kmeans_fit(_vecs_ds(), k=8, iters=3).astype(np.float64) / _QS
+    write_ivf_store(_vecs_ds(), out, nlist=8, centroids=C)
+    rows = _vecs_ds().take(3)
+    Q = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                  for r in rows])
+    got = topk_cosine_ivf_store(out, Q, k=10, nprobe=8)
+    exp = topk_cosine_brute(_vecs_ds(), Q, k=10)
+    assert list(zip(got["query_id"], got["vec_id"])) \
+        == list(zip(exp["query_id"], exp["vec_id"]))
