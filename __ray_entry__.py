@@ -38,6 +38,7 @@ from hecatoncheir_ray.functions import asof as _asof  # noqa: E402
 from hecatoncheir_ray.pipelines import curation as _curation  # noqa: E402
 from hecatoncheir_ray.functions import clustering as _clustering  # noqa: E402
 from hecatoncheir_ray.functions import dedup as _dedup  # noqa: E402
+from hecatoncheir_ray.functions import quantiles as _quantiles  # noqa: E402
 from hecatoncheir_ray.functions import simsearch as _simsearch  # noqa: E402
 from hecatoncheir_ray.functions import text as _text  # noqa: E402
 from hecatoncheir_ray.functions import windows as _windows  # noqa: E402
@@ -596,6 +597,26 @@ def _q_ann_topk_cosine(sf_dir: str):
     return topk_cosine_qnorm(_vecs(sf_dir), _ANN_QIDS, k=10)
 
 
+_QUANTILE_QS = [0.1, 0.5, 0.9, 0.99]
+
+
+def _q_doc_len_quantiles(sf_dir: str):
+    """Exact order statistics WITHOUT a global sort: O(log_B range)
+    streaming histogram-refinement passes (no shuffle) pin each
+    quantile_disc element exactly (functions/quantiles.py)."""
+    from hecatoncheir_ray.functions.quantiles import exact_quantiles
+    got = exact_quantiles(_docs(sf_dir), "n_chars", _QUANTILE_QS)
+    return got.assign(value=got["value"].astype(float))
+
+
+def _q_event_value_quantiles(sf_dir: str):
+    """Same operator over a DOUBLE column (IEEE-754 total-order key)."""
+    import ray.data as rd
+    from hecatoncheir_ray.functions.quantiles import exact_quantiles
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet")
+    return exact_quantiles(ev, "value", _QUANTILE_QS)
+
+
 def _q_emb_kmeans(sf_dir: str):
     """Distributed integer-exact Lloyd k-means over the embeddings table
     (seed ranking, per-round assignment + centroid update, and the final
@@ -664,6 +685,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf_store": _q_ann_topk_ivf_store,
         "emb_kmeans": _q_emb_kmeans,
         "emb_cluster_sample": _q_emb_cluster_sample,
+        "doc_len_quantiles": _q_doc_len_quantiles,
+        "event_value_quantiles": _q_event_value_quantiles,
         "audio_features": _q_audio_features,
         "video_frame_sample": _q_video_frame_sample,
     }
@@ -1020,6 +1043,10 @@ def oracle_sql() -> dict[str, str]:
         "emb_kmeans": _clustering.kmeans_sql(k=8, iters=4),
         "emb_cluster_sample": _clustering.kmeans_stratified_sample_sql(
             k=8, iters=4, per_cluster=5),
+        "doc_len_quantiles": _quantiles.exact_quantiles_sql(
+            "documents", "n_chars", _QUANTILE_QS),
+        "event_value_quantiles": _quantiles.exact_quantiles_sql(
+            "events", "value", _QUANTILE_QS),
     }
 
 

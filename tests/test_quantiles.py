@@ -1,0 +1,65 @@
+"""Exact distributed quantiles (histogram range-count refinement, no
+global sort): DuckDB quantile_disc parity on ints and doubles."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from hecatoncheir_ray.functions.quantiles import (exact_quantiles,
+                                                  exact_quantiles_sql)
+
+QS = [0.0, 0.1, 0.5, 0.9, 0.99, 1.0]
+
+
+def _check(df, qs=QS, parts=7, isnan_guard=False):
+    con = duckdb.connect()
+    con.register("t", df)
+    sql = exact_quantiles_sql("t", "x", qs)
+    if isnan_guard:
+        sql = sql.replace("IS NOT NULL", "IS NOT NULL AND NOT isnan(x)")
+    exp = con.execute(sql).df()
+    got = exact_quantiles(rd.from_pandas(df).repartition(parts), "x", qs)
+    got = got.assign(value=got["value"].astype(float))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_int_quantiles_match_duckdb(ray_session):
+    rng = np.random.default_rng(11)
+    _check(pd.DataFrame({"x": rng.integers(-10**9, 10**9, 5000)}))
+
+
+def test_small_range_int_single_pass(ray_session):
+    rng = np.random.default_rng(5)
+    # range fits one 2^16 histogram -> converges in a single pass
+    _check(pd.DataFrame({"x": rng.integers(0, 100, 3000)}), parts=3)
+
+
+def test_double_quantiles_with_nans(ray_session):
+    rng = np.random.default_rng(12)
+    v = rng.normal(scale=1e5, size=5000)
+    v[::97] = np.nan
+    _check(pd.DataFrame({"x": v}), isnan_guard=True)
+
+
+def test_partitioning_invariant(ray_session):
+    rng = np.random.default_rng(4)
+    df = pd.DataFrame({"x": rng.integers(-500, 500, 2000)})
+    a = exact_quantiles(rd.from_pandas(df).repartition(2), "x", QS)
+    b = exact_quantiles(rd.from_pandas(df).repartition(17), "x", QS)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_duplicates_and_skew(ray_session):
+    # heavy ties: rank arithmetic must still pick quantile_disc's element
+    x = np.concatenate([np.zeros(900, dtype=np.int64),
+                        np.full(90, 7, dtype=np.int64),
+                        np.arange(10, dtype=np.int64) + 100])
+    _check(pd.DataFrame({"x": x}), parts=5)
+
+
+def test_all_null_raises(ray_session):
+    df = pd.DataFrame({"x": np.array([np.nan, np.nan])})
+    with pytest.raises(ValueError):
+        exact_quantiles(rd.from_pandas(df), "x", [0.5])
