@@ -617,6 +617,16 @@ def _q_event_value_quantiles(sf_dir: str):
     return exact_quantiles(ev, "value", _QUANTILE_QS)
 
 
+def _q_event_value_quantiles_by_type(sf_dir: str):
+    """Per-group exact quantiles (quantile_disc per event_type): every
+    refinement pass is still one shared scan; driver state is
+    O(groups x quantiles)."""
+    import ray.data as rd
+    from hecatoncheir_ray.functions.quantiles import exact_group_quantiles
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet")
+    return exact_group_quantiles(ev, "value", "event_type", _QUANTILE_QS)
+
+
 def _q_emb_kmeans(sf_dir: str):
     """Distributed integer-exact Lloyd k-means over the embeddings table
     (seed ranking, per-round assignment + centroid update, and the final
@@ -687,6 +697,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_cluster_sample": _q_emb_cluster_sample,
         "doc_len_quantiles": _q_doc_len_quantiles,
         "event_value_quantiles": _q_event_value_quantiles,
+        "event_value_quantiles_by_type": _q_event_value_quantiles_by_type,
         "audio_features": _q_audio_features,
         "video_frame_sample": _q_video_frame_sample,
     }
@@ -1047,6 +1058,9 @@ def oracle_sql() -> dict[str, str]:
             "documents", "n_chars", _QUANTILE_QS),
         "event_value_quantiles": _quantiles.exact_quantiles_sql(
             "events", "value", _QUANTILE_QS),
+        "event_value_quantiles_by_type":
+            _quantiles.exact_group_quantiles_sql(
+                "events", "value", "event_type", _QUANTILE_QS),
     }
 
 

@@ -131,6 +131,108 @@ def exact_quantiles(ds: Dataset, col: str,
         "value": [_key_to_value(s["lo"], kind) for s in st]})
 
 
+def exact_group_quantiles(ds: Dataset, col: str, by: str,
+                          qs: list[float]) -> pd.DataFrame:
+    """-> DataFrame(by, q, value): exact quantile_disc of ``col`` per
+    ``by`` group, same histogram refinement as ``exact_quantiles`` —
+    every pass is still ONE shared scan (each batch histograms every
+    group's open intervals), driver state is O(groups * len(qs) * B).
+    Intended for low-cardinality group keys (enums, languages, types);
+    high-cardinality keys should go through a groupby shuffle instead."""
+    sel = ds.select_columns([by, col])
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[col].to_numpy()
+        g = df[by].to_numpy()
+        ok = ~pd.isna(v)
+        if v.dtype.kind == "f":
+            ok &= ~np.isnan(v)
+        v, g = v[ok], g[ok]
+        rows = []
+        for gv in pd.unique(g):
+            k = _keys_of(v[g == gv])
+            rows.append({"g": gv, "n": len(k), "lo": int(k.min()),
+                         "hi": int(k.max()),
+                         "kind": "int" if v.dtype.kind in "iu"
+                         else "float"})
+        return pd.DataFrame(rows)
+
+    groups: dict = {}
+    kind = "int"
+    for p in sel.map_batches(stats, batch_format="pandas").take_all():
+        s = groups.setdefault(p["g"], {"n": 0, "lo": p["lo"],
+                                       "hi": p["hi"]})
+        s["n"] += p["n"]
+        s["lo"] = min(s["lo"], p["lo"])
+        s["hi"] = max(s["hi"], p["hi"])
+        kind = p["kind"]
+    if not groups:
+        raise ValueError(f"no non-null values in column {col!r}")
+
+    st = [{"g": gv, "q": q, "lo": s["lo"], "hi": s["hi"], "below": 0,
+           "k": max(1, math.ceil(q * s["n"]))}
+          for gv, s in groups.items() for q in qs]
+
+    while any(s["lo"] < s["hi"] for s in st):
+        act = [s for s in st if s["lo"] < s["hi"]]
+        gvals = [s["g"] for s in act]
+        los = [s["lo"] for s in act]
+        his = [s["hi"] for s in act]
+        shifts = [max(0, (h - l).bit_length() - _B_BITS)
+                  for l, h in zip(los, his)]
+        nb = [((h - l) >> sh) + 1 for l, h, sh in zip(los, his, shifts)]
+
+        def hist(df: pd.DataFrame, gvals=gvals, los=los, his=his,
+                 shifts=shifts, nb=nb) -> pd.DataFrame:
+            v = df[col].to_numpy()
+            g = df[by].to_numpy()
+            ok = ~pd.isna(v)
+            if v.dtype.kind == "f":
+                ok &= ~np.isnan(v)
+            v, g = v[ok], g[ok]
+            k = _keys_of(v)
+            rows = []
+            for j in range(len(los)):
+                m = (g == gvals[j]) & (k >= los[j]) & (k <= his[j])
+                lo_bits = np.uint64(los[j] & 0xFFFFFFFFFFFFFFFF)
+                with np.errstate(over="ignore"):
+                    b = ((k[m].view(np.uint64) - lo_bits)
+                         >> np.uint64(shifts[j])).astype(np.int64)
+                rows.append({"j": j,
+                             "counts": np.bincount(b, minlength=nb[j])
+                             .astype(np.int64)})
+            return pd.DataFrame(rows)
+
+        agg = [np.zeros(nb[j], dtype=np.int64) for j in range(len(act))]
+        for r in sel.map_batches(hist, batch_format="pandas").take_all():
+            agg[r["j"]] += np.asarray(r["counts"], dtype=np.int64)
+        for j, s in enumerate(act):
+            need = s["k"] - s["below"]
+            cum = np.cumsum(agg[j])
+            b = int(np.searchsorted(cum, need))
+            width = 1 << shifts[j]
+            s["below"] += int(cum[b - 1]) if b > 0 else 0
+            s["lo"] = los[j] + b * width
+            s["hi"] = min(s["hi"], los[j] + (b + 1) * width - 1)
+
+    out = pd.DataFrame({
+        by: [s["g"] for s in st],
+        "q": np.asarray([s["q"] for s in st], dtype=np.float64),
+        "value": [_key_to_value(s["lo"], kind) for s in st]})
+    return out.sort_values([by, "q"]).reset_index(drop=True)
+
+
+def exact_group_quantiles_sql(table: str, col: str, by: str,
+                              qs: list[float],
+                              cast: str = "DOUBLE") -> str:
+    """DuckDB twin of exact_group_quantiles."""
+    selects = [(f"SELECT {by}, CAST({q} AS DOUBLE) AS q, "
+                f"CAST(quantile_disc({col}, {q}) AS {cast}) AS value "
+                f"FROM {table} WHERE {col} IS NOT NULL GROUP BY {by}")
+               for q in qs]
+    return " UNION ALL ".join(selects)
+
+
 def exact_quantiles_sql(table: str, col: str, qs: list[float],
                         cast: str = "DOUBLE") -> str:
     """DuckDB twin: one quantile_disc row per q (value cast so int and

@@ -7,8 +7,9 @@ import pandas as pd
 import pytest
 import ray.data as rd
 
-from hecatoncheir_ray.functions.quantiles import (exact_quantiles,
-                                                  exact_quantiles_sql)
+from hecatoncheir_ray.functions.quantiles import (
+    exact_group_quantiles, exact_group_quantiles_sql, exact_quantiles,
+    exact_quantiles_sql)
 
 QS = [0.0, 0.1, 0.5, 0.9, 0.99, 1.0]
 
@@ -57,6 +58,38 @@ def test_duplicates_and_skew(ray_session):
                         np.full(90, 7, dtype=np.int64),
                         np.arange(10, dtype=np.int64) + 100])
     _check(pd.DataFrame({"x": x}), parts=5)
+
+
+def test_group_quantiles_match_duckdb(ray_session):
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c"], 4000),
+        "x": rng.normal(scale=1e4, size=4000)})
+    qs = [0.1, 0.5, 0.9]
+    got = exact_group_quantiles(
+        rd.from_pandas(df).repartition(6), "x", "g", qs)
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute(exact_group_quantiles_sql("t", "x", "g", qs)).df() \
+        .sort_values(["g", "q"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_group_quantiles_uneven_groups(ray_session):
+    # one tiny group (2 rows) next to a big one: rank math per group
+    df = pd.DataFrame({
+        "g": ["big"] * 1000 + ["tiny"] * 2,
+        "x": np.concatenate([np.arange(1000, dtype=np.int64),
+                             np.array([7, -3], dtype=np.int64)])})
+    qs = [0.0, 0.5, 1.0]
+    got = exact_group_quantiles(
+        rd.from_pandas(df).repartition(4), "x", "g", qs)
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute(exact_group_quantiles_sql("t", "x", "g", qs)).df() \
+        .sort_values(["g", "q"]).reset_index(drop=True)
+    got = got.assign(value=got["value"].astype(float))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
 
 
 def test_all_null_raises(ray_session):
