@@ -421,6 +421,46 @@ def run_knnjoin() -> dict:
             "sf": SF_DIR, "num_cpus": NUM_CPUS}
 
 
+def run_quantiles(n: int = 20_000_000):
+    """Exact-quantile throughput on a synthetic double column (n rows,
+    deterministic splitmix values).  Reports wall, refinement passes, and
+    rows/sec — the operator is pass-bound: total work ~ passes * one
+    column scan, zero shuffle."""
+    import numpy as np
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data as rd
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from hecatoncheir_ray.functions import quantiles as qmod
+    from hecatoncheir_ray.functions.dedup import _mix
+
+    def gen(b):
+        i = b["id"].to_numpy().astype(np.uint64)
+        return __import__("pandas").DataFrame(
+            {"x": _mix(i).astype(np.float64) / 2**64 * 2e6 - 1e6})
+
+    ds = rd.range(n).map_batches(gen, batch_format="pandas") \
+        .materialize()  # pin so reps time the operator, not generation
+    qs = [0.1, 0.5, 0.9, 0.99]
+
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        res = qmod.exact_quantiles(ds, "x", qs)
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    ray.shutdown()
+    return {"metric": "exact_quantiles_seconds", "value": round(best, 3),
+            "unit": "sec", "rows": n, "quantiles": qs,
+            "rows_per_sec": round(n / best, 1),
+            "values": res["value"].round(3).tolist(),
+            "num_cpus": NUM_CPUS}
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
@@ -432,5 +472,7 @@ if __name__ == "__main__":
         print(json.dumps(run_skew()))
     elif "--knnjoin" in sys.argv:
         print(json.dumps(run_knnjoin()))
+    elif "--quantiles" in sys.argv:
+        print(json.dumps(run_quantiles()))
     else:
         print(json.dumps(run_bench()))
