@@ -9,15 +9,25 @@ by histogram range-count refinement instead of sorting:
 - one aggregate pass gets (n, min, max);
 - then O(log_B(range)) streaming passes: each pass histograms the
   active [lo, hi] key interval of every still-open quantile into
-  B = 2^16 buckets (a vectorized bincount per batch, summed on the
-  driver — the per-pass driver state is num_quantiles * B counts),
-  then descends into the bucket containing the target rank.  Doubles
-  close in <= 4 passes, narrow int columns in 1-2.
+  B = 2^16 buckets (a vectorized bincount per batch, emitted as SPARSE
+  (j, bucket, n) rows and reduced by a shuffle-side ``Sum`` — the
+  driver sees only the merged histogram, O(open_quantiles * B) rows
+  regardless of block count), then descends into the bucket containing
+  the target rank.  Doubles close in <= 4 passes, narrow int columns
+  in 1-2.
 
 At 100 TB this is the right shape: a global ``Dataset.sort`` is an
 all-to-all shuffle of the full column with spill, while each refinement
-pass here is a column-pruned scan with a tiny additive result — no
-shuffle at all, and passes over ALL requested quantiles share one scan.
+pass here is a column-pruned scan whose only exchange is the sparse
+partial-histogram reduce (<= B rows per open quantile per block, far
+fewer in practice) — and passes over ALL requested quantiles share one
+scan.
+
+The key kind (int vs float) is resolved ONCE from the Dataset schema,
+not per block: an integer parquet column with nulls materializes as
+float64 in null-bearing pandas blocks and int64 elsewhere, so per-block
+dtype sniffing would mix identity and IEEE-bit keys across blocks.
+Every batch is coerced to the schema kind after null-dropping.
 """
 
 from __future__ import annotations
@@ -26,6 +36,7 @@ import math
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from ray.data import Dataset
 
@@ -50,33 +61,90 @@ def _key_to_value(key: int, kind: str):
     return float(np.asarray(b, dtype=np.uint64).view(np.float64))
 
 
+def _kind_of(ds: Dataset, col: str) -> str:
+    """'int' or 'float' from the DATASET schema (authoritative; per-block
+    pandas dtypes are not — see module docstring)."""
+    sch = ds.schema()
+    t = sch.types[sch.names.index(col)]
+    return "int" if pa.types.is_integer(t) else "float"
+
+
+def _clean(v: np.ndarray, kind: str) -> np.ndarray:
+    """Drop nulls/NaNs and coerce to the schema kind's dtype."""
+    v = v[~pd.isna(v)]
+    if v.dtype.kind == "f":
+        v = v[~np.isnan(v)]
+        if kind == "int":
+            v = v.astype(np.int64)
+    elif v.dtype.kind in "iu" and kind == "float":
+        v = v.astype(np.float64)
+    elif v.dtype == object:
+        v = v.astype(np.int64 if kind == "int" else np.float64)
+    return v
+
+
+_EMPTY_HIST = pd.DataFrame({"j": pd.Series([], dtype=np.int64),
+                            "b": pd.Series([], dtype=np.int64),
+                            "n": pd.Series([], dtype=np.int64)})
+
+
+def _sparse_hist_rows(k: np.ndarray, los, his, shifts) -> pd.DataFrame:
+    """Batch keys -> sparse (j, b, n) rows over every active interval j."""
+    js, bs, ns = [], [], []
+    for j in range(len(los)):
+        m = (k >= los[j]) & (k <= his[j])
+        if not m.any():
+            continue
+        # modular uint64 subtraction: diffs land in [0, span), wrap-free
+        # even when [lo, hi] straddles zero
+        lo_bits = np.uint64(los[j] & 0xFFFFFFFFFFFFFFFF)
+        with np.errstate(over="ignore"):
+            b = ((k[m].view(np.uint64) - lo_bits)
+                 >> np.uint64(shifts[j])).astype(np.int64)
+        cnt = np.bincount(b)
+        nz = np.nonzero(cnt)[0]
+        js.append(np.full(len(nz), j, dtype=np.int64))
+        bs.append(nz.astype(np.int64))
+        ns.append(cnt[nz].astype(np.int64))
+    if not js:
+        return _EMPTY_HIST.copy()
+    return pd.DataFrame({"j": np.concatenate(js), "b": np.concatenate(bs),
+                         "n": np.concatenate(ns)})
+
+
+def _reduce_hist(part_rows: Dataset, nb: list[int]) -> list[np.ndarray]:
+    """Shuffle-side Sum merge of sparse partials (the tile_counts pattern,
+    pipelines/tiling.py) -> dense per-interval count arrays.  Driver state
+    is the MERGED histogram: O(sum(nb)) independent of block count."""
+    from ray.data.aggregate import Sum
+    agg = [np.zeros(nb[j], dtype=np.int64) for j in range(len(nb))]
+    merged = part_rows.groupby(["j", "b"]) \
+        .aggregate(Sum("n", alias_name="n")).take_all()
+    for r in merged:
+        agg[int(r["j"])][int(r["b"])] = int(r["n"])
+    return agg
+
+
 def exact_quantiles(ds: Dataset, col: str,
                     qs: list[float]) -> pd.DataFrame:
     """-> DataFrame(q, value): exact quantile_disc of ``ds[col]``."""
+    from ray.data.aggregate import Count, Max, Min
+
+    kind = _kind_of(ds, col)
     sel = ds.select_columns([col])
 
-    def stats(df: pd.DataFrame) -> pd.DataFrame:
-        v = df[col].to_numpy()
-        v = v[~pd.isna(v)]
-        if v.dtype.kind == "f":
-            v = v[~np.isnan(v)]
-        if len(v) == 0:
-            return pd.DataFrame({"n": [0], "lo": [0], "hi": [0],
-                                 "kind": ["?"]})
-        k = _keys_of(v)
-        return pd.DataFrame({"n": [len(k)], "lo": [int(k.min())],
-                             "hi": [int(k.max())],
-                             "kind": ["int" if v.dtype.kind in "iu"
-                                      else "float"]})
+    def to_keys(df: pd.DataFrame) -> pd.DataFrame:
+        v = _clean(df[col].to_numpy(), kind)
+        return pd.DataFrame({"k": _keys_of(v)})
 
-    parts = sel.map_batches(stats, batch_format="pandas").take_all()
-    parts = [p for p in parts if p["n"] > 0]
-    if not parts:
+    keyed = sel.map_batches(to_keys, batch_format="pandas")
+    stat = keyed.aggregate(Min("k", alias_name="lo"),
+                           Max("k", alias_name="hi"),
+                           Count(alias_name="n"))
+    n = stat.get("n") or 0
+    if n == 0:
         raise ValueError(f"no non-null values in column {col!r}")
-    n = sum(p["n"] for p in parts)
-    glo = min(p["lo"] for p in parts)
-    ghi = max(p["hi"] for p in parts)
-    kind = parts[0]["kind"]
+    glo, ghi = int(stat["lo"]), int(stat["hi"])
 
     # per-quantile search state: rank (1-based), [lo, hi], count(< lo)
     ranks = [max(1, math.ceil(q * n)) for q in qs]
@@ -92,30 +160,13 @@ def exact_quantiles(ds: Dataset, col: str,
                   for sp in spans]
         nb = [((sp - 1) >> sh) + 1 for sp, sh in zip(spans, shifts)]
 
-        def hist(df: pd.DataFrame, los=los, his=his, shifts=shifts,
-                 nb=nb) -> pd.DataFrame:
-            v = df[col].to_numpy()
-            v = v[~pd.isna(v)]
-            if v.dtype.kind == "f":
-                v = v[~np.isnan(v)]
-            k = _keys_of(v)
-            rows = []
-            for j in range(len(los)):
-                m = (k >= los[j]) & (k <= his[j])
-                # modular uint64 subtraction: diffs land in [0, span),
-                # wrap-free even when [lo, hi] straddles zero
-                lo_bits = np.uint64(los[j] & 0xFFFFFFFFFFFFFFFF)
-                with np.errstate(over="ignore"):
-                    b = ((k[m].view(np.uint64) - lo_bits)
-                         >> np.uint64(shifts[j])).astype(np.int64)
-                rows.append({"j": j,
-                             "counts": np.bincount(b, minlength=nb[j])
-                             .astype(np.int64)})
-            return pd.DataFrame(rows)
+        def hist(df: pd.DataFrame, los=los, his=his,
+                 shifts=shifts) -> pd.DataFrame:
+            k = _keys_of(_clean(df[col].to_numpy(), kind))
+            return _sparse_hist_rows(k, los, his, shifts)
 
-        agg = [np.zeros(nb[j], dtype=np.int64) for j in range(len(act))]
-        for r in sel.map_batches(hist, batch_format="pandas").take_all():
-            agg[r["j"]] += np.asarray(r["counts"], dtype=np.int64)
+        agg = _reduce_hist(
+            sel.map_batches(hist, batch_format="pandas"), nb)
         for j, i in enumerate(act):
             s = st[i]
             need = s["k"] - s["below"]
@@ -136,38 +187,31 @@ def exact_group_quantiles(ds: Dataset, col: str, by: str,
     """-> DataFrame(by, q, value): exact quantile_disc of ``col`` per
     ``by`` group, same histogram refinement as ``exact_quantiles`` —
     every pass is still ONE shared scan (each batch histograms every
-    group's open intervals), driver state is O(groups * len(qs) * B).
-    Intended for low-cardinality group keys (enums, languages, types);
+    group's open intervals) and the partials reduce shuffle-side;
+    driver state is O(groups * len(qs) * B).  Intended for
+    low-cardinality group keys (enums, languages, types);
     high-cardinality keys should go through a groupby shuffle instead."""
+    from ray.data.aggregate import Count, Max, Min
+
+    kind = _kind_of(ds, col)
     sel = ds.select_columns([by, col])
 
-    def stats(df: pd.DataFrame) -> pd.DataFrame:
+    def to_keys(df: pd.DataFrame) -> pd.DataFrame:
         v = df[col].to_numpy()
         g = df[by].to_numpy()
         ok = ~pd.isna(v)
-        if v.dtype.kind == "f":
-            ok &= ~np.isnan(v)
         v, g = v[ok], g[ok]
-        rows = []
-        for gv in pd.unique(g):
-            k = _keys_of(v[g == gv])
-            rows.append({"g": gv, "n": len(k), "lo": int(k.min()),
-                         "hi": int(k.max()),
-                         "kind": "int" if v.dtype.kind in "iu"
-                         else "float"})
-        return pd.DataFrame(rows)
+        v = _clean(v, kind)
+        return pd.DataFrame({by: g, "k": _keys_of(v)})
 
-    groups: dict = {}
-    kind = "int"
-    for p in sel.map_batches(stats, batch_format="pandas").take_all():
-        s = groups.setdefault(p["g"], {"n": 0, "lo": p["lo"],
-                                       "hi": p["hi"]})
-        s["n"] += p["n"]
-        s["lo"] = min(s["lo"], p["lo"])
-        s["hi"] = max(s["hi"], p["hi"])
-        kind = p["kind"]
-    if not groups:
+    grows = sel.map_batches(to_keys, batch_format="pandas") \
+        .groupby(by).aggregate(Min("k", alias_name="lo"),
+                               Max("k", alias_name="hi"),
+                               Count(alias_name="n")).take_all()
+    if not grows:
         raise ValueError(f"no non-null values in column {col!r}")
+    groups = {r[by]: {"n": int(r["n"]), "lo": int(r["lo"]),
+                      "hi": int(r["hi"])} for r in grows}
 
     st = [{"g": gv, "q": q, "lo": s["lo"], "hi": s["hi"], "below": 0,
            "k": max(1, math.ceil(q * s["n"]))}
@@ -183,29 +227,27 @@ def exact_group_quantiles(ds: Dataset, col: str, by: str,
         nb = [((h - l) >> sh) + 1 for l, h, sh in zip(los, his, shifts)]
 
         def hist(df: pd.DataFrame, gvals=gvals, los=los, his=his,
-                 shifts=shifts, nb=nb) -> pd.DataFrame:
+                 shifts=shifts) -> pd.DataFrame:
             v = df[col].to_numpy()
             g = df[by].to_numpy()
             ok = ~pd.isna(v)
-            if v.dtype.kind == "f":
-                ok &= ~np.isnan(v)
             v, g = v[ok], g[ok]
+            v = _clean(v, kind)
             k = _keys_of(v)
-            rows = []
+            out = []
             for j in range(len(los)):
-                m = (g == gvals[j]) & (k >= los[j]) & (k <= his[j])
-                lo_bits = np.uint64(los[j] & 0xFFFFFFFFFFFFFFFF)
-                with np.errstate(over="ignore"):
-                    b = ((k[m].view(np.uint64) - lo_bits)
-                         >> np.uint64(shifts[j])).astype(np.int64)
-                rows.append({"j": j,
-                             "counts": np.bincount(b, minlength=nb[j])
-                             .astype(np.int64)})
-            return pd.DataFrame(rows)
+                mg = g == gvals[j]
+                part = _sparse_hist_rows(k[mg], [los[j]], [his[j]],
+                                         [shifts[j]])
+                if len(part):
+                    part["j"] = np.int64(j)
+                    out.append(part)
+            if not out:
+                return _EMPTY_HIST.copy()
+            return pd.concat(out, ignore_index=True)[["j", "b", "n"]]
 
-        agg = [np.zeros(nb[j], dtype=np.int64) for j in range(len(act))]
-        for r in sel.map_batches(hist, batch_format="pandas").take_all():
-            agg[r["j"]] += np.asarray(r["counts"], dtype=np.int64)
+        agg = _reduce_hist(
+            sel.map_batches(hist, batch_format="pandas"), nb)
         for j, s in enumerate(act):
             need = s["k"] - s["below"]
             cum = np.cumsum(agg[j])

@@ -52,6 +52,49 @@ def test_partitioning_invariant(ray_session):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_partitioning_invariant_many_blocks(ray_session):
+    # >= 64 blocks: the sparse shuffle-side Sum reduce must merge partial
+    # histograms identically however the rows are sharded
+    rng = np.random.default_rng(21)
+    df = pd.DataFrame({"x": rng.normal(scale=1e6, size=4000)})
+    a = exact_quantiles(rd.from_pandas(df).repartition(1), "x", QS)
+    b = exact_quantiles(rd.from_pandas(df).repartition(64), "x", QS)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_int_column_with_nulls_schema_kind(ray_session):
+    # an int64 parquet/Arrow column with nulls materializes as float64 in
+    # null-bearing pandas blocks: kind must come from the schema so every
+    # block maps keys identically (identity, not IEEE bits)
+    import pyarrow as pa
+    vals = list(range(-50, 50)) * 10
+    arr = pa.array([None if i % 97 == 0 else v
+                    for i, v in enumerate(vals)], type=pa.int64())
+    tbl = pa.table({"x": arr})
+    ds = rd.from_arrow(tbl).repartition(8)
+    got = exact_quantiles(ds, "x", QS)
+    con = duckdb.connect()
+    con.register("t", tbl)
+    exp = con.execute(exact_quantiles_sql("t", "x", QS)).df()
+    got = got.assign(value=got["value"].astype(float))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_group_quantiles_all_null_block(ray_session):
+    # a block whose rows are all-null for the value column must not drift
+    # the partial schema (ADVICE r3): group "z" is entirely null and the
+    # null rows are concentrated in their own partition
+    df = pd.DataFrame({
+        "g": ["a"] * 100 + ["z"] * 50,
+        "x": np.concatenate([np.arange(100, dtype=np.float64),
+                             np.full(50, np.nan)])})
+    qs = [0.5]
+    got = exact_group_quantiles(
+        rd.from_pandas(df).repartition(6), "x", "g", qs)
+    assert list(got["g"]) == ["a"]
+    assert got["value"].iloc[0] == 49.0
+
+
 def test_duplicates_and_skew(ray_session):
     # heavy ties: rank arithmetic must still pick quantile_disc's element
     x = np.concatenate([np.zeros(900, dtype=np.int64),
