@@ -461,6 +461,73 @@ def run_quantiles(n: int = 20_000_000):
             "num_cpus": NUM_CPUS}
 
 
+def run_minhash() -> dict:
+    """MinHash-LSH shuffle-volume accounting (VERDICT r3 #1): bytes that
+    cross the all-to-all under the round-4 layout (sig-only band rows +
+    the shingle table shipped once per attach side) vs the round-3 layout
+    (full shingle set + signature riding EVERY band row), plus end-to-end
+    wall and the verified pair count (which must not change)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data as rd
+    from hecatoncheir_ray.functions.dedup import (char_shingles,
+                                                  minhash_band_rows,
+                                                  minhash_near_dups,
+                                                  minhash_signature,
+                                                  shingle_table)
+
+    docs = rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                           columns=["doc_id", "text"]).materialize()
+    n_docs = docs.count()
+
+    band = minhash_band_rows(docs).materialize()
+    sh = shingle_table(docs).materialize()
+    # new layout: band rows cross the LSH groupby once; the shingle table
+    # crosses one attach shuffle per pair side (pair rows are pair-scale)
+    new_bytes = band.size_bytes() + 2 * sh.size_bytes()
+
+    bands, num_perm, r, seed, k = 32, 64, 2, 1, 5
+
+    def old_rows(df: pd.DataFrame) -> pd.DataFrame:
+        # the round-3 row layout, rebuilt for measurement only
+        bks, dids, sigs, shs = [], [], [], []
+        for did, text in zip(df["doc_id"], df["text"].fillna("")):
+            s = char_shingles(text, k)
+            sig = minhash_signature(s, num_perm, seed)
+            for b in range(bands):
+                key = hashlib.blake2b(sig[b * r:(b + 1) * r].tobytes(),
+                                      digest_size=8).hexdigest()
+                bks.append(f"{b:02d}:{key}")
+                dids.append(int(did))
+                sigs.append(sig)
+                shs.append(s)
+        return pd.DataFrame({"bucket": bks, "doc_id": dids,
+                             "sig": sigs, "shingles": shs})
+
+    old = docs.map_batches(old_rows, batch_format="pandas").materialize()
+    old_bytes = old.size_bytes()
+
+    t0 = time.time()
+    pairs = minhash_near_dups(docs)
+    wall = time.time() - t0
+    ray.shutdown()
+    return {"metric": "minhash_shuffle_bytes", "docs": n_docs,
+            "new_shuffle_bytes": new_bytes, "old_shuffle_bytes": old_bytes,
+            "new_bytes_per_doc": round(new_bytes / n_docs, 1),
+            "old_bytes_per_doc": round(old_bytes / n_docs, 1),
+            "amplification_drop": round(old_bytes / new_bytes, 2),
+            "pipeline_seconds": round(wall, 3), "pairs": len(pairs),
+            "sf": SF_DIR, "num_cpus": NUM_CPUS}
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
@@ -474,5 +541,7 @@ if __name__ == "__main__":
         print(json.dumps(run_knnjoin()))
     elif "--quantiles" in sys.argv:
         print(json.dumps(run_quantiles()))
+    elif "--minhash" in sys.argv:
+        print(json.dumps(run_minhash()))
     else:
         print(json.dumps(run_bench()))

@@ -123,3 +123,48 @@ class EngineConfig:
             raise ValueError("dataspace bounds required (set cfg.dataspace "
                              "or pass computed bounds)")
         return GridSpec(*b, ppd=self.ppd)
+
+
+def join_parallelism(requested: int = 64) -> int:
+    """Hash-join partition count clamped to the cluster's CPU budget.
+
+    Ray's hash-shuffle join spawns min(num_partitions, 64) aggregator
+    ACTORS, each reserving CPU proportional to its partition share plus
+    an estimated partition's memory.  Requesting more partitions than
+    the cluster has cores starves the actor pool behind the producer
+    tasks and deadlocks a small session (observed: 16 partitions hang a
+    4-CPU session; 8 run).  On a multi-node cluster the CPU total grows
+    with the cluster, so this keeps join width proportional to it.
+    """
+    import ray
+    cpus = 8.0
+    if ray.is_initialized():
+        cpus = ray.cluster_resources().get("CPU", 8.0)
+    return max(1, min(int(requested), int(cpus)))
+
+
+def arrow_schema_of(ds):
+    """The Dataset's pyarrow schema, or None for pandas-born datasets
+    whose Ray schema holds numpy dtypes instead of Arrow types."""
+    import pyarrow as pa
+    base = getattr(ds.schema(), "base_schema", None)
+    return base if isinstance(base, pa.Schema) else None
+
+
+def repair_join_empties(ds, schema):
+    """Repair schema-less empty partition blocks emitted by Dataset.join.
+
+    An empty hash partition finalizes to a ZERO-COLUMN table (observed on
+    Ray 2.49: joining that output again fails with 'No match ... for key
+    field reference' since the key column is gone).  Rewrites such blocks
+    to typed empties; passes every other block through untouched.  No-op
+    when ``schema`` is None (pandas-born input with no Arrow schema)."""
+    if schema is None:
+        return ds
+
+    def fix(t):
+        if t.num_columns == 0:
+            return schema.empty_table()
+        return t
+
+    return ds.map_batches(fix, batch_format="pyarrow")

@@ -83,12 +83,14 @@ def asof_join(left: Dataset, right: Dataset, on: str = "ts",
     vectorized merge kernel per partition."""
     lsel = [by, on, *left_cols]
     rsel = list(dict.fromkeys([by, on, *right_cols, tiebreak]))
+    rtypes = _dtypes_of(right, right_cols)
+    ltypes = _dtypes_of(left, left_cols)
 
     def tag_left(df: pd.DataFrame) -> pd.DataFrame:
         out = df[lsel].copy()
         out["tag"] = np.int8(0)
         for c in right_cols:
-            out[prefix + c] = _neutral_like(df, None, c)
+            out[prefix + c] = _neutral_col(len(df), rtypes[c])
         out["_tie"] = np.int64(0)
         k = out[by].to_numpy().astype(np.uint64)
         out["part"] = _part_of(k, num_parts)
@@ -97,7 +99,7 @@ def asof_join(left: Dataset, right: Dataset, on: str = "ts",
     def tag_right(df: pd.DataFrame) -> pd.DataFrame:
         out = df[[by, on]].copy()
         for c in left_cols:
-            out[c] = _neutral_like(df, None, c)
+            out[c] = _neutral_col(len(df), ltypes[c])
         out["tag"] = np.int8(1)
         for c in right_cols:
             out[prefix + c] = df[c].to_numpy()
@@ -174,11 +176,14 @@ def asof_join_global(left: Dataset, right: Dataset, on: str = "ts",
         partials = partials.iloc[order[last]].reset_index(drop=True)
     carry = partials    # one row per non-empty bucket, ts-ascending
 
+    rtypes = _dtypes_of(right, right_cols)
+    ltypes = _dtypes_of(left, left_cols)
+
     def tag_left(df: pd.DataFrame) -> pd.DataFrame:
         out = df[lsel].copy()
         out["tag"] = np.int8(0)
         for c in right_cols:
-            out[prefix + c] = _neutral_like(df, None, c)
+            out[prefix + c] = _neutral_col(len(df), rtypes[c])
         out["_tie"] = np.int64(0)
         out["bucket"] = _ts_int(df[on]) // (bucket_us * 1000)
         return out
@@ -186,7 +191,7 @@ def asof_join_global(left: Dataset, right: Dataset, on: str = "ts",
     def tag_right(df: pd.DataFrame) -> pd.DataFrame:
         out = df[[on]].copy()
         for c in left_cols:
-            out[c] = _neutral_like(df, None, c)
+            out[c] = _neutral_col(len(df), ltypes[c])
         out["tag"] = np.int8(1)
         for c in right_cols:
             out[prefix + c] = df[c].to_numpy()
@@ -242,10 +247,28 @@ def _part_of(k: np.ndarray, num_parts: int) -> np.ndarray:
     return _mix(k).astype(np.int64) % num_parts
 
 
-def _neutral_like(src: pd.DataFrame, _unused, col: str):
-    """Zero-filled column matching src[col]'s dtype (union schema filler)."""
-    d = src[col].dtype if col in src.columns else np.float64
-    return np.zeros(len(src), dtype=d)
+def _dtypes_of(ds: Dataset, cols) -> dict:
+    """Pandas dtype per column, resolved from the DATASET schema — the
+    authoritative source for union-schema fillers (probing the other
+    side's frame for a same-named column silently mismatches dtypes
+    when, e.g., a right payload column is a string absent on the left)."""
+    import pyarrow as pa
+    sch = ds.schema()
+    out = {}
+    for name, typ in zip(sch.names, sch.types):
+        if name in cols:
+            # Ray Schema holds pa.DataType for Arrow blocks but plain
+            # numpy/Python types for pandas-born datasets
+            out[name] = (typ.to_pandas_dtype()
+                         if isinstance(typ, pa.DataType) else typ)
+    return out
+
+
+def _neutral_col(n: int, dtype):
+    """Neutral filler column of the given pandas dtype."""
+    if dtype is object or dtype == np.object_:
+        return np.full(n, "", dtype=object)
+    return np.zeros(n, dtype=dtype)
 
 
 def _empty_kernel_out(g: pd.DataFrame, lsel, right_cols,

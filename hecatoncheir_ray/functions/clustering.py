@@ -58,14 +58,17 @@ def kmeans_seeds(vecs: Dataset, k: int) -> np.ndarray:
 
     def local_k(df: pd.DataFrame) -> pd.DataFrame:
         ids, Q = _quantize(df)
-        h = _mix(ids.astype(np.uint64)).astype(np.float64)
+        # rank on the EXACT uint64 hash (a float64 downcast can collide
+        # two hashes that differ only below 2^-53, flipping the tiebreak
+        # vs the exact-UBIGINT SQL twin)
+        h = _mix(ids.astype(np.uint64))
         order = np.lexsort((ids, h))[:k]
         return pd.DataFrame({"h": h[order], "vec_id": ids[order],
                              "qv": list(Q[order])})
 
     cand = vecs.select_columns(["vec_id", "embedding"]) \
         .map_batches(local_k, batch_format="pandas").take_all()
-    cand.sort(key=lambda r: (r["h"], r["vec_id"]))
+    cand.sort(key=lambda r: (int(r["h"]), int(r["vec_id"])))
     if len(cand) < k:
         raise ValueError(f"k={k} > corpus size {len(cand)}")
     return np.stack([np.asarray(r["qv"], dtype=np.int64)
@@ -146,7 +149,7 @@ def kmeans_stratified_sample(vecs: Dataset, k: int = 8, iters: int = 4,
     def local(df: pd.DataFrame) -> pd.DataFrame:
         ids = df["vec_id"].to_numpy().astype(np.int64)
         cl = df["cluster"].to_numpy().astype(np.int64)
-        h = _mix(ids.astype(np.uint64)).astype(np.float64)
+        h = _mix(ids.astype(np.uint64))      # exact uint64 rank (no f64)
         order = np.lexsort((ids, h, cl))
         ids, cl, h = ids[order], cl[order], h[order]
         new = np.concatenate([[True], cl[1:] != cl[:-1]])

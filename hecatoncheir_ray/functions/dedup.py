@@ -314,24 +314,19 @@ def _sorted_pairs_df(pairs: Dataset) -> pd.DataFrame:
         .reset_index(drop=True)
 
 
-def minhash_near_dup_pairs(docs: Dataset, threshold: float = 0.6,
-                           num_perm: int = 64, bands: int = 32,
-                           shingle_k: int = 5, seed: int = 1) -> Dataset:
-    """MinHash-LSH near-duplicate pairs, exact-Jaccard verified in-shuffle.
-
-    bands x rows = num_perm; recall for J >= t is 1-(1-J^r)^b (with r=2,
-    b=32: ~1.0 for J >= 0.8, 0.97 for J = 0.6).  Verification is exact, so
-    precision is 1.0.  Each bucket row carries the doc's shingle set and
-    full signature; verification happens inside the band-bucket map_groups
-    (membership-matrix Jaccard) and each pair is emitted from its lowest
-    colliding band only — the driver never sees documents or shingles.
-    Returns the (doc_id_a, doc_id_b) pair DATASET (stays in the object
-    store — feed it to near_dup_clusters/dedup_canonical at scale);
-    ``minhash_near_dups`` is the driver-materializing wrapper."""
+def minhash_band_rows(docs: Dataset, num_perm: int = 64, bands: int = 32,
+                      shingle_k: int = 5, seed: int = 1) -> Dataset:
+    """Stage 1 of MinHash-LSH: (bucket, doc_id, sig) band rows — the ONLY
+    thing the LSH shuffle moves.  sig rides so the bucket group can apply
+    the lowest-colliding-band rule (exactly-once candidate emission);
+    shingle sets do NOT ride (they are hash-joined back for verification,
+    see minhash_near_dup_pairs) — at ``bands`` bands that drops the
+    all-to-all payload by ~ the shingles/sig size ratio (typically >10x)
+    times the band fan-out."""
     r = num_perm // bands
 
     def sig_rows(df: pd.DataFrame) -> pd.DataFrame:
-        bks, dids, sigs, shs = [], [], [], []
+        bks, dids, sigs = [], [], []
         for did, text in zip(df["doc_id"], df["text"].fillna("")):
             sh = char_shingles(text, shingle_k)
             sig = minhash_signature(sh, num_perm, seed)
@@ -341,12 +336,59 @@ def minhash_near_dup_pairs(docs: Dataset, threshold: float = 0.6,
                                       digest_size=8).hexdigest()
                 bks.append(f"{b:02d}:{key}")
                 dids.append(int(did))
-                sigs.append(sig)
-                shs.append(sh)
-        return pd.DataFrame({"bucket": bks, "doc_id": dids,
-                             "sig": sigs, "shingles": shs})
+                sigs.append(sig.tobytes())
+        return pd.DataFrame({"bucket": bks, "doc_id": dids, "sig": sigs})
 
-    def verify_group(g: pd.DataFrame) -> pd.DataFrame:
+    return docs.select_columns(["doc_id", "text"]) \
+        .map_batches(sig_rows, batch_format="pandas")
+
+
+_SHINGLE_SCHEMA = pa.schema([("doc_id", pa.int64()),
+                             ("sh", pa.large_binary())])
+
+
+def shingle_table(docs: Dataset, shingle_k: int = 5) -> Dataset:
+    """(doc_id, sh: binary) — each doc's sorted-unique uint64 shingle set
+    serialized once (np.tobytes), for hash-joining onto candidate pairs."""
+
+    def rows(df: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            "doc_id": pa.array(df["doc_id"].to_numpy().astype(np.int64)),
+            "sh": pa.array([char_shingles(t, shingle_k).tobytes()
+                            for t in df["text"].fillna("")],
+                           type=pa.large_binary())},
+            schema=_SHINGLE_SCHEMA)
+
+    return docs.select_columns(["doc_id", "text"]) \
+        .map_batches(rows, batch_format="pandas")
+
+
+def minhash_near_dup_pairs(docs: Dataset, threshold: float = 0.6,
+                           num_perm: int = 64, bands: int = 32,
+                           shingle_k: int = 5, seed: int = 1,
+                           join_parts: int | None = None) -> Dataset:
+    """MinHash-LSH near-duplicate pairs, exact-Jaccard verified.
+
+    bands x rows = num_perm; recall for J >= t is 1-(1-J^r)^b (with r=2,
+    b=32: ~1.0 for J >= 0.8, 0.97 for J = 0.6).  Verification is exact, so
+    precision is 1.0.
+
+    Shuffle shape (the 100 TB path): band rows carry (bucket, doc_id, sig)
+    ONLY — the full shingle sets stay out of the xbands-amplified LSH
+    shuffle.  Buckets emit CANDIDATE pairs (each from its lowest colliding
+    band, so exactly once); the pair-scale candidate set is then
+    hash-joined back against a once-computed (doc_id, shingles) table and
+    verified with exact Jaccard.  Two ~1x-data exchanges instead of one
+    32x one; the driver never sees documents, shingles, or candidates.
+    (Shingles are computed twice — once under the signature, once for the
+    verify table — trading cheap recompute for the shuffle-byte drop.)
+
+    Returns the (doc_id_a, doc_id_b) pair DATASET (stays in the object
+    store — feed it to near_dup_clusters/dedup_canonical at scale);
+    ``minhash_near_dups`` is the driver-materializing wrapper."""
+    r = num_perm // bands
+
+    def cand_group(g: pd.DataFrame) -> pd.DataFrame:
         n = len(g)
         if n < 2:
             return _EMPTY_PAIRS.copy()
@@ -355,31 +397,52 @@ def minhash_near_dup_pairs(docs: Dataset, threshold: float = 0.6,
         b = int(g["bucket"].iloc[0].split(":", 1)[0])
         iu, ju = np.triu_indices(n, 1)
         if b > 0:
-            S = np.stack([np.asarray(s, dtype=np.uint64)
+            S = np.stack([np.frombuffer(s, dtype=np.uint64)
                           for s in g["sig"].to_numpy()[order]])
             Sb = S.reshape(n, bands, r)[:, :b, :]
             dup = (Sb[iu] == Sb[ju]).all(axis=2).any(axis=1)
             iu, ju = iu[~dup], ju[~dup]
-            if len(iu) == 0:
-                return _EMPTY_PAIRS.copy()
-        sh = [np.asarray(s, dtype=np.uint64)
-              for s in g["shingles"].to_numpy()[order]]
-        uni = np.unique(np.concatenate(sh))
-        B = np.zeros((n, len(uni)), dtype=np.int32)
-        for k, s in enumerate(sh):
-            B[k, np.searchsorted(uni, s)] = 1
-        inter = B @ B.T
-        sizes = B.sum(axis=1)
-        union = sizes[iu] + sizes[ju] - inter[iu, ju]
-        # same float expression as jaccard() so thresholds round identically
-        jac = np.where(union > 0, inter[iu, ju] / np.maximum(union, 1), 1.0)
-        ok = jac >= threshold
-        return pd.DataFrame({"doc_id_a": ids[iu[ok]],
-                             "doc_id_b": ids[ju[ok]]})
+        if len(iu) == 0:
+            return _EMPTY_PAIRS.copy()
+        return pd.DataFrame({"doc_id_a": ids[iu], "doc_id_b": ids[ju]})
 
-    return docs.select_columns(["doc_id", "text"]) \
-        .map_batches(sig_rows, batch_format="pandas") \
-        .groupby("bucket").map_groups(verify_group, batch_format="pandas")
+    cand = minhash_band_rows(docs, num_perm, bands, shingle_k, seed) \
+        .groupby("bucket").map_groups(cand_group, batch_format="pandas") \
+        .materialize()
+    # empty right/left sides break the hash join (schema-less empty
+    # blocks); the count is a scalar, cand is pair-scale + materialized
+    if cand.count() == 0:
+        import ray.data
+        return ray.data.from_pandas(_EMPTY_PAIRS.copy())
+
+    from .idjoin import attach_bytes_by_id
+    parts = join_parts or 256
+    sh = shingle_table(docs, shingle_k)
+    withA = attach_bytes_by_id(cand, "doc_id_a", sh, "doc_id",
+                               "sh", "sh_a", parts)
+    withAB = attach_bytes_by_id(withA, "doc_id_b", sh, "doc_id",
+                                "sh", "sh", parts)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return _EMPTY_PAIRS.copy()
+        ok = np.zeros(len(df), dtype=bool)
+        sa_col = df["sh_a"].to_numpy()
+        sb_col = df["sh"].to_numpy()
+        for i in range(len(df)):
+            sa = np.frombuffer(sa_col[i], dtype=np.uint64)
+            sb = np.frombuffer(sb_col[i], dtype=np.uint64)
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            # same float expression as jaccard() so thresholds round
+            # identically to the in-bucket verifier this replaced
+            jac = inter / max(union, 1) if union > 0 else 1.0
+            ok[i] = jac >= threshold
+        return pd.DataFrame(
+            {"doc_id_a": df["doc_id_a"].to_numpy()[ok].astype(np.int64),
+             "doc_id_b": df["doc_id_b"].to_numpy()[ok].astype(np.int64)})
+
+    return withAB.map_batches(verify, batch_format="pandas")
 
 
 def minhash_near_dups(docs: Dataset, threshold: float = 0.6,
@@ -787,33 +850,52 @@ def near_dup_clusters(docs: Dataset, pairs) -> Dataset:
                      batch_format="pandas")
 
 
-def dedup_canonical(docs: Dataset, pairs) -> Dataset:
+def dedup_canonical(docs: Dataset, pairs,
+                    broadcast_threshold: int = 1_000_000,
+                    join_parts: int | None = None) -> Dataset:
     """Corpus minus near-duplicates: keep only each cluster's minimum
     doc_id (the canonical representative), payload intact — the standard
-    final step of a dedup pipeline.  One extra hash join of the (tiny
-    relative to the corpus) non-canonical id set against the docs."""
-    clusters = near_dup_clusters(docs, pairs)
+    final step of a dedup pipeline.
+
+    Scale shape: the corpus is LEFT-SEMI hash-joined against the canonical
+    side of the cluster table (rows with doc_id == cluster_id) — the drop
+    set never lands on the driver.  Web-corpus near-dup drop rates of
+    10-40% make the drop set corpus-scale, so a driver take_all is not an
+    option at 100 TB.  Only when the drop set is VERIFIABLY small (a
+    scalar count <= ``broadcast_threshold``) does it ship as a broadcast
+    sorted-id mask instead, skipping the corpus-wide join shuffle."""
+    clusters = near_dup_clusters(docs, pairs).materialize()
 
     def drop_ids(df: pd.DataFrame) -> pd.DataFrame:
-        bad = df[df["doc_id"] != df["cluster_id"]]
+        bad = df[df["doc_id"].to_numpy() != df["cluster_id"].to_numpy()]
         return pd.DataFrame({"doc_id":
                              bad["doc_id"].to_numpy().astype(np.int64)})
 
-    drop = np.sort(np.array(
-        [r["doc_id"] for r in
-         clusters.map_batches(drop_ids, batch_format="pandas").take_all()],
-        dtype=np.int64))
-    # the drop set is pair-scale (num near-dups, not corpus size); ship it
-    # once in the closure (ray.put under the hood); the corpus streams
-    # through a vectorized isin mask
-    def keep(df: pd.DataFrame) -> pd.DataFrame:
-        ids = df["doc_id"].to_numpy().astype(np.int64)
-        idx = np.searchsorted(drop, ids)
-        idx[idx >= len(drop)] = max(len(drop) - 1, 0)
-        mask = ~((len(drop) > 0) & (drop[idx] == ids))
-        return df[mask]
+    drop_ds = clusters.map_batches(drop_ids, batch_format="pandas")
+    n_drop = drop_ds.count()                       # scalar on the driver
+    if n_drop == 0:
+        return docs
+    if n_drop <= broadcast_threshold:
+        drop = np.sort(
+            drop_ds.to_pandas()["doc_id"].to_numpy().astype(np.int64))
 
-    return docs.map_batches(keep, batch_format="pandas")
+        def keep(df: pd.DataFrame) -> pd.DataFrame:
+            ids = df["doc_id"].to_numpy().astype(np.int64)
+            idx = np.searchsorted(drop, ids)
+            idx[idx >= len(drop)] = len(drop) - 1
+            return df[~(drop[idx] == ids)]
+
+        return docs.map_batches(keep, batch_format="pandas")
+
+    def canon_ids(df: pd.DataFrame) -> pd.DataFrame:
+        good = df[df["doc_id"].to_numpy() == df["cluster_id"].to_numpy()]
+        return pd.DataFrame({"doc_id":
+                             good["doc_id"].to_numpy().astype(np.int64)})
+
+    from .idjoin import filter_by_ids
+    canon = clusters.map_batches(canon_ids, batch_format="pandas")
+    return filter_by_ids(docs, "doc_id", canon, "doc_id", keep=True,
+                         num_parts=join_parts or 256)
 
 
 def near_dup_clusters_sql(pairs_sql: str, src: str = "documents") -> str:

@@ -1,0 +1,159 @@
+"""Distributed id joins (semi / anti / payload-attach) as ONE
+hash-partitioned groupby shuffle + a vectorized searchsorted kernel.
+
+Why not ``Dataset.join``: Ray 2.49's hash-shuffle join has two sharp
+edges observed in this repo's tests — (a) a join partition whose blocks
+are all empty finalizes to a ZERO-COLUMN table, and because map_batches
+short-circuits empty blocks those poison any downstream join with
+'No match ... for key field reference'; (b) the aggregator actor pool
+reserves CPU/memory per partition and deadlocks sessions smaller than
+the partition count.  The reduce-side pattern below is the same
+sort-based shuffle every other operator in this package uses (asof,
+dedup bands, windows): no actor pool, no schema-less empties, and the
+partition count is a plain knob.
+
+Kernels are per HASH PARTITION (<= ``num_parts`` groups), not per key —
+inside each partition membership is one ``np.searchsorted`` over the
+partition's sorted id set, so per-group Python overhead never scales
+with key cardinality.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ray.data import Dataset
+
+from .dedup import _mix
+
+
+def _part_of(k: np.ndarray, num_parts: int) -> np.ndarray:
+    return _mix(k.astype(np.uint64)).astype(np.int64) % num_parts
+
+
+def _filler_specs(ds: Dataset, cols) -> dict:
+    """Neutral-filler spec per column, from the DATASET schema (keeps the
+    bytes/str distinction that pandas object dtype erases)."""
+    import pyarrow as pa
+    out = {}
+    for name, typ in zip(ds.schema().names, ds.schema().types):
+        if name not in cols:
+            continue
+        if isinstance(typ, pa.DataType):
+            if pa.types.is_binary(typ) or pa.types.is_large_binary(typ):
+                out[name] = ("bytes", None)
+            elif pa.types.is_string(typ) or pa.types.is_large_string(typ):
+                out[name] = ("str", None)
+            else:
+                out[name] = ("dtype", typ.to_pandas_dtype())
+        else:                       # pandas-born: numpy dtype or object
+            out[name] = ("str", None) if typ is object \
+                else ("dtype", typ)
+    return out
+
+
+def _neutral(n: int, spec) -> np.ndarray:
+    kind, dt = spec
+    if kind == "bytes":
+        return np.full(n, b"", dtype=object)
+    if kind == "str":
+        return np.full(n, "", dtype=object)
+    return np.zeros(n, dtype=dt)
+
+
+def filter_by_ids(left: Dataset, key: str, ids: Dataset, ids_key: str,
+                  keep: bool, num_parts: int = 256) -> Dataset:
+    """Semi (``keep=True``) / anti (``keep=False``) join of ``left``
+    against an int64 id set: left rows whose ``key`` is (not) in
+    ``ids[ids_key]``.  Output schema == left schema."""
+    left_cols = [c for c in left.schema().names]
+    ltypes = _filler_specs(left, left_cols)
+
+    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[left_cols].copy()
+        out["_tag"] = np.int8(0)
+        out["_part"] = _part_of(out[key].to_numpy().astype(np.int64),
+                                num_parts)
+        return out
+
+    def tag_ids(df: pd.DataFrame) -> pd.DataFrame:
+        kv = df[ids_key].to_numpy().astype(np.int64)
+        out = pd.DataFrame({
+            c: (kv if c == key else _neutral(len(kv), ltypes[c]))
+            for c in left_cols})
+        out["_tag"] = np.int8(1)
+        out["_part"] = _part_of(kv, num_parts)
+        return out
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        tags = g["_tag"].to_numpy()
+        data = g[tags == 0]
+        marks = np.sort(np.unique(
+            g[key].to_numpy()[tags == 1].astype(np.int64)))
+        kv = data[key].to_numpy().astype(np.int64)
+        if len(marks) == 0:
+            member = np.zeros(len(kv), dtype=bool)
+        else:
+            idx = np.searchsorted(marks, kv)
+            idx[idx >= len(marks)] = len(marks) - 1
+            member = marks[idx] == kv
+        return data[member if keep else ~member][left_cols]
+
+    tagged = left.map_batches(tag_left, batch_format="pandas") \
+        .union(ids.select_columns([ids_key])
+               .map_batches(tag_ids, batch_format="pandas"))
+    return tagged.groupby("_part").map_groups(kernel,
+                                              batch_format="pandas")
+
+
+def attach_bytes_by_id(rows: Dataset, key: str, lookup: Dataset,
+                       lookup_key: str, payload: str, out_col: str,
+                       num_parts: int = 256) -> Dataset:
+    """Inner-join one BINARY payload column onto ``rows`` by int64 id
+    (every ``rows[key]`` must exist in ``lookup`` — true by construction
+    when rows were derived from lookup's table, e.g. LSH candidates from
+    the corpus).  Rows keep their columns plus ``out_col``."""
+    row_cols = [c for c in rows.schema().names]
+    rtypes = _filler_specs(rows, row_cols)
+
+    def tag_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[row_cols].copy()
+        out[out_col] = b""
+        out["_tag"] = np.int8(0)
+        out["_part"] = _part_of(out[key].to_numpy().astype(np.int64),
+                                num_parts)
+        return out
+
+    def tag_lookup(df: pd.DataFrame) -> pd.DataFrame:
+        kv = df[lookup_key].to_numpy().astype(np.int64)
+        out = pd.DataFrame({
+            c: (kv if c == key else _neutral(len(kv), rtypes[c]))
+            for c in row_cols})
+        out[out_col] = df[payload].to_numpy()
+        out["_tag"] = np.int8(1)
+        out["_part"] = _part_of(kv, num_parts)
+        return out
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        tags = g["_tag"].to_numpy()
+        data = g[tags == 0]
+        look = g[tags == 1]
+        lk = look[key].to_numpy().astype(np.int64)
+        order = np.argsort(lk)
+        lk = lk[order]
+        pay = look[out_col].to_numpy()[order]
+        kv = data[key].to_numpy().astype(np.int64)
+        if len(data) and len(lk) == 0:
+            raise KeyError(f"attach_bytes_by_id: no lookup rows for "
+                           f"{key} partition containing {kv[:3]}...")
+        idx = np.searchsorted(lk, kv)
+        out = data[row_cols].copy()
+        out[out_col] = pay[idx]
+        return out
+
+    tagged = rows.map_batches(tag_rows, batch_format="pandas") \
+        .union(lookup.select_columns([lookup_key, payload])
+               .map_batches(tag_lookup, batch_format="pandas"))
+    return tagged.groupby("_part").map_groups(kernel,
+                                              batch_format="pandas")

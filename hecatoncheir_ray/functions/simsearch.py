@@ -39,6 +39,32 @@ def _merge_topk(parts: list[tuple], k: int, by_score_desc=True):
     return rows
 
 
+def _merge_topk_shuffled(parts_ds: Dataset, qids: list[int], k: int,
+                         keep_score: bool = False) -> pd.DataFrame:
+    """Shuffle-side merge of per-block top-k partials: one
+    groupby(query_id) keeps the k best (score desc, vec_id asc) per
+    query, so the driver sees only the final Q*k rows — not
+    blocks x Q x k partials (which scale with block count)."""
+
+    def merge_group(g: pd.DataFrame, _k=k) -> pd.DataFrame:
+        order = np.lexsort((g["vec_id"].to_numpy(),
+                            -g["score"].to_numpy()))[:_k]
+        out = g.iloc[order].copy()
+        out["rank"] = np.arange(len(out), dtype=np.int64)
+        return out
+
+    merged = parts_ds.groupby("query_id").map_groups(
+        merge_group, batch_format="pandas").to_pandas()
+    pos = {q: i for i, q in enumerate(qids)}
+    merged["ord"] = merged["query_id"].map(pos)
+    merged = merged.sort_values(["ord", "rank"])
+    if keep_score:
+        return merged[["query_id", "vec_id", "score"]] \
+            .reset_index(drop=True)
+    return merged[["query_id", "vec_id"]].astype(np.int64) \
+        .reset_index(drop=True)
+
+
 def topk_ip_quantized(vecs: Dataset, query_ids: list[int],
                       k: int = 10) -> pd.DataFrame:
     """Exact top-k by quantized inner product (MIPS).
@@ -76,17 +102,8 @@ def topk_ip_quantized(vecs: Dataset, query_ids: list[int],
                              "vec_id": np.array(out_v, dtype=np.int64),
                              "score": np.array(out_s, dtype=np.int64)})
 
-    parts = vecs.map_batches(local_topk, batch_format="pandas").take_all()
-    best: dict[int, list] = {}
-    for r in parts:
-        best.setdefault(int(r["query_id"]), []).append(
-            (-int(r["score"]), int(r["vec_id"])))
-    rows = []
-    for qid in qids:
-        for negsc, vid in sorted(best.get(qid, []))[:k]:
-            rows.append((qid, vid))
-    return pd.DataFrame(rows, columns=["query_id", "vec_id"]) \
-        .astype(np.int64)
+    return _merge_topk_shuffled(
+        vecs.map_batches(local_topk, batch_format="pandas"), qids, k)
 
 
 def topk_ip_quantized_sql(query_ids: list[int], k: int = 10) -> str:
@@ -113,7 +130,7 @@ def topk_ip_quantized_sql(query_ids: list[int], k: int = 10) -> str:
 def topk_cosine_brute(vecs: Dataset, queries: np.ndarray,
                       k: int = 10) -> pd.DataFrame:
     """Exact cosine top-k: broadcast normalized query matrix, one matmul
-    per batch, driver merge.  queries: (Q, dim)."""
+    per batch, shuffle-side per-query merge.  queries: (Q, dim)."""
     Qn = queries / np.maximum(
         np.linalg.norm(queries, axis=1, keepdims=True), 1e-300)
     q_ref = ray.put(Qn)
@@ -133,11 +150,9 @@ def topk_cosine_brute(vecs: Dataset, queries: np.ndarray,
                        for o in order)
         return pd.DataFrame(out, columns=["query_id", "vec_id", "score"])
 
-    parts = [(int(r["query_id"]), int(r["vec_id"]), float(r["score"]))
-             for r in vecs.map_batches(local_topk,
-                                       batch_format="pandas").take_all()]
-    rows = _merge_topk(parts, k)
-    return pd.DataFrame(rows, columns=["query_id", "vec_id", "score"])
+    return _merge_topk_shuffled(
+        vecs.map_batches(local_topk, batch_format="pandas"),
+        list(range(len(queries))), k, keep_score=True)
 
 
 def topk_cosine_ivf(vecs: Dataset, queries: np.ndarray, k: int = 10,
@@ -402,17 +417,8 @@ def topk_cosine_qnorm(vecs: Dataset, query_ids: list[int],
                              "vec_id": np.array(out_v, dtype=np.int64),
                              "score": np.array(out_s, dtype=np.int64)})
 
-    parts = vecs.map_batches(local_topk, batch_format="pandas").take_all()
-    best: dict[int, list] = {}
-    for r in parts:
-        best.setdefault(int(r["query_id"]), []).append(
-            (-int(r["score"]), int(r["vec_id"])))
-    rows = []
-    for qid in qids:
-        for negsc, vid in sorted(best.get(qid, []))[:k]:
-            rows.append((qid, vid))
-    return pd.DataFrame(rows, columns=["query_id", "vec_id"]) \
-        .astype(np.int64)
+    return _merge_topk_shuffled(
+        vecs.map_batches(local_topk, batch_format="pandas"), qids, k)
 
 
 def topk_cosine_qnorm_sql(query_ids: list[int], k: int = 10,

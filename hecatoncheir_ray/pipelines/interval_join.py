@@ -107,6 +107,14 @@ def interval_join(left: Dataset, right: Dataset, t_col: str = "ts",
         hi = pts.aggregate(Max("maxx"))["max(maxx)"]
         ro = boxes.aggregate(Min("minx"))["min(minx)"]
         rh = boxes.aggregate(Max("maxx"))["max(maxx)"]
+        if None in (lo, hi, ro, rh):
+            # either side empty (plausible after an upstream filter):
+            # the inner join is empty — short-circuit instead of doing
+            # dataspace math on None
+            import ray.data
+            return ray.data.from_arrow(pa.table(
+                {"r_id": pa.array([], pa.int64()),
+                 "s_id": pa.array([], pa.int64())}))
         t0, t1 = min(lo, ro), max(hi, rh)
         cfg = EngineConfig(dataspace=(t0, 0.0, t1 + 1.0, 1.0), ppd=ppd)
     return spatial_join(pts, boxes, "covered_by", cfg)

@@ -309,7 +309,12 @@ def knn_join(r: Dataset, s: Dataset, k: int,
 
     # radius-less points (fewer than k S in their own cell) loop with a
     # doubling disk until k fall inside; candidates from too-small guesses
-    # are a subset of the final round's and collapse in the merge dedup
+    # are a subset of the final round's and collapse in the merge dedup.
+    # Settle detection is shuffle-side: per-r_id candidate counts filter
+    # to the settled ids, which anti-join against ``unknown`` in one
+    # hash-partitioned groupby (functions/idjoin.filter_by_ids) — the
+    # driver touches only scalar counts per round (the settled minority
+    # is O(|R|) in sparse regions, too big to round-trip).
     guess = grid.cell_w * grid.cell_w + grid.cell_h * grid.cell_h
     for _ in range(max_rounds):
         if unknown.count() == 0:
@@ -317,26 +322,25 @@ def knn_join(r: Dataset, s: Dataset, k: int,
         g = float(guess)
 
         def with_guess(t: pa.Table, _g=g) -> pa.Table:
-            return t.set_column(3, "r2",
+            return t.set_column(t.schema.get_field_index("r2"), "r2",
                                 pa.array(np.full(len(t), _g)))
 
         cand = range_pass(unknown.map_batches(
             with_guess, batch_format="pyarrow")).materialize()
-        counts = cand.groupby("r_id").count().to_pandas()
-        cnt_col = [c for c in counts.columns if c != "r_id"][0]
-        ok_ids = set(counts[counts[cnt_col] >= k]["r_id"].tolist())
         cand_sets.append(cand)
 
-        ok_arr = np.fromiter(ok_ids, dtype=np.int64, count=len(ok_ids))
-        ok_arr.sort()
+        def to_settled(t: pa.Table, _k=k) -> pa.Table:
+            cnt = [c for c in t.column_names if c != "r_id"][0]
+            m = t.filter(pc.greater_equal(t[cnt], _k))
+            return pa.table({"r_id": m["r_id"]})
 
-        def drop_settled(t: pa.Table, _ok=ok_arr) -> pa.Table:
-            pid = t["pid"].to_numpy(zero_copy_only=False)
-            return t.filter(pa.array(~np.isin(pid, _ok)))
-
-        unknown = unknown.map_batches(drop_settled,
-                                      batch_format="pyarrow") \
-            .materialize()
+        settled = cand.groupby("r_id").count() \
+            .map_batches(to_settled, batch_format="pyarrow").materialize()
+        if settled.count() > 0:
+            from ..functions.idjoin import filter_by_ids
+            unknown = filter_by_ids(unknown, "pid", settled, "r_id",
+                                    keep=False, num_parts=parts) \
+                .materialize()
         guess *= 4.0
     else:
         if unknown.count() > 0:

@@ -209,6 +209,20 @@ def attach_payload(pairs: Dataset, payload: Dataset, pair_key: str,
     The join shuffle moves only geometry; image bytes / captions etc. are
     joined back here (hash join on the key).  SURVEY.md §7.4 'wide rows'.
     """
-    return pairs.join(payload.select_columns([payload_key] + columns),
-                      join_type="inner", num_partitions=32,
-                      on=(pair_key,), right_on=(payload_key,))
+    from ..config import arrow_schema_of, join_parallelism, \
+        repair_join_empties
+    rhs = payload.select_columns([payload_key] + columns)
+    out = pairs.join(rhs, join_type="inner",
+                     num_partitions=join_parallelism(),
+                     on=(pair_key,), right_on=(payload_key,))
+    # empty hash partitions finalize to zero-column blocks that break a
+    # downstream union/join; rebuild the joined schema (left pair cols +
+    # payload cols) when both sides expose Arrow schemas
+    lsch, rsch = arrow_schema_of(pairs), arrow_schema_of(rhs)
+    joined_schema = None
+    if lsch is not None and rsch is not None:
+        fields = [lsch.field(n) for n in lsch.names] + \
+            [rsch.field(n) for n in rsch.names if n != payload_key]
+        import pyarrow as _pa
+        joined_schema = _pa.schema(fields)
+    return repair_join_empties(out, joined_schema)

@@ -101,3 +101,24 @@ def test_asof_duckdb_twin(ray_session):
                             .reset_index(drop=True))
     _cmp(asof_join_global(errors, clicks).to_pandas(),
          con.execute(asof_join_sql("error", "click", by=False)).df())
+
+
+def test_asof_string_right_payload(ray_session):
+    # right payload column with a dtype the left side doesn't carry
+    # (ADVICE r3: fillers probed the LEFT frame, so a string column got
+    # float64 zeros on left batches and broke the union schema)
+    from hecatoncheir_ray.functions.asof import asof_join
+    base = pd.Timestamp("2026-01-01")
+    left = pd.DataFrame({
+        "user_id": np.array([1, 1, 2], dtype=np.int64),
+        "ts": [base + pd.Timedelta(seconds=s) for s in (10, 20, 30)],
+        "event_id": np.array([100, 101, 102], dtype=np.int64)})
+    right = pd.DataFrame({
+        "user_id": np.array([1, 2], dtype=np.int64),
+        "ts": [base + pd.Timedelta(seconds=s) for s in (5, 25)],
+        "event_id": np.array([7, 8], dtype=np.int64),
+        "label": ["alpha", "beta"]})
+    out = asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                    right_cols=("event_id", "label")).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    assert out["r_label"].tolist() == ["alpha", "alpha", "beta"]

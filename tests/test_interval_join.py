@@ -50,3 +50,18 @@ def test_interval_join_timestamps(ray_session):
     got = interval_join(rd.from_pandas(left), rd.from_pandas(right)) \
         .to_pandas()
     assert sorted(got["r_id"]) == [0, 1, 2]   # end-inclusive, +1us is out
+
+
+def test_interval_join_empty_side(ray_session):
+    # an upstream filter matching nothing must yield an empty pair
+    # Dataset, not a TypeError in the dataspace math (ADVICE r3)
+    import ray.data as rd
+    from hecatoncheir_ray.pipelines.interval_join import interval_join
+    left = pd.DataFrame({"event_id": np.array([1, 2], dtype=np.int64),
+                         "ts": np.array([5.0, 6.0])})
+    right = pd.DataFrame({"event_id": pd.Series([], dtype=np.int64),
+                          "start": pd.Series([], dtype=np.float64),
+                          "end": pd.Series([], dtype=np.float64)})
+    out = interval_join(rd.from_pandas(left), rd.from_pandas(right))
+    assert out.count() == 0
+    assert set(out.schema().names) == {"r_id", "s_id"}

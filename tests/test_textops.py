@@ -416,3 +416,35 @@ def test_ivf_store_from_kmeans_centroids(ray_session, tmp_path):
     exp = topk_cosine_brute(_vecs_ds(), Q, k=10)
     assert list(zip(got["query_id"], got["vec_id"])) \
         == list(zip(exp["query_id"], exp["vec_id"]))
+
+
+def test_dedup_canonical_no_pairs(ray_session):
+    # zero near-dup pairs must be a no-op, not a crash (ADVICE r3:
+    # the isin mask indexed into an empty drop array)
+    from hecatoncheir_ray.functions.dedup import dedup_canonical
+    docs = rd.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(20, dtype=np.int64),
+         "text": [f"unique text {i}" for i in range(20)]}))
+    pairs = pd.DataFrame({"doc_id_a": pd.Series([], dtype=np.int64),
+                          "doc_id_b": pd.Series([], dtype=np.int64)})
+    surv = dedup_canonical(docs, pairs).to_pandas()
+    assert sorted(surv["doc_id"]) == list(range(20))
+
+
+def test_dedup_canonical_join_path(ray_session):
+    # broadcast_threshold=0 forces the left-semi hash-join (the 100 TB
+    # path); result must match the broadcast path exactly
+    from hecatoncheir_ray.functions.dedup import dedup_canonical
+    docs = rd.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(30, dtype=np.int64),
+         "text": [f"t{i}" for i in range(30)]}))
+    pairs = pd.DataFrame({"doc_id_a": np.array([0, 5, 5], dtype=np.int64),
+                          "doc_id_b": np.array([7, 9, 21], dtype=np.int64)})
+    via_join = dedup_canonical(docs, pairs,
+                               broadcast_threshold=0).to_pandas()
+    via_bcast = dedup_canonical(docs, pairs).to_pandas()
+    assert sorted(via_join["doc_id"]) == sorted(via_bcast["doc_id"])
+    assert 7 not in set(via_join["doc_id"])
+    assert 9 not in set(via_join["doc_id"])
+    assert 21 not in set(via_join["doc_id"])
+    assert 0 in set(via_join["doc_id"]) and 5 in set(via_join["doc_id"])
