@@ -4,16 +4,17 @@
    caption:string, phash:int64)``
 
 Synthesis is deterministic (hash-seeded per row, batching-independent) and
-produces REAL PNG bytes via a pure-Python encoder (zlib + struct — no image
-libraries exist in this environment).  Decode is a real PNG decoder
-(all 5 scanline filters).  JPEG decode is a clearly-marked stub
-(:class:`JpegNotSupported`): the Ray-side plumbing (schema, actor pool,
-batch shapes) is real and tested; swap in a codec library on a real
-cluster.
+produces REAL image bytes via pure-Python codecs — PNG (zlib + struct,
+all 5 scanline filters on decode) and baseline JPEG (:mod:`.jpeg`:
+YCbCr + 8x8 DCT + Annex-K quantization/Huffman).  No image libraries
+exist in this environment; both codecs are self-contained.
 
 Per-row invariant vs the source (input_hint): decoded pixels allclose
-(PSNR = inf for PNG; >= 40 dB required for lossy) + caption equality —
-:func:`make_verify_fn` computes both per row.
+(PSNR = inf for PNG; >= 40 dB required for lossy JPEG) + caption
+equality — :func:`make_verify_fn` computes both per row.  The JPEG
+family encodes at quality 98: genuinely lossy (DCT quantization error
+is present) yet above the 40 dB bar (worst observed 43.6 dB on this
+fixture).
 """
 
 from __future__ import annotations
@@ -24,7 +25,10 @@ import zlib
 import numpy as np
 import pyarrow as pa
 
+from .jpeg import jpeg_decode, jpeg_encode
 from .synth import rand01
+
+JPEG_QUALITY = 98
 
 IMAGE_SCHEMA = pa.schema([
     ("image_id", pa.string()),
@@ -37,11 +41,15 @@ IMAGE_SCHEMA = pa.schema([
 ])
 
 
-class JpegNotSupported(NotImplementedError):
-    """JPEG codec stub — no image libraries in this container.
+class ImageFormatNotSupported(NotImplementedError):
+    """Unknown image format — png and baseline jpeg are implemented
+    in-container (pure Python); anything else (webp/avif/...) raises
+    this until a codec library exists on the cluster."""
 
-    The pipeline plumbing treats jpeg rows identically to png (binary
-    payload + typed metadata); only the pixel codec is stubbed."""
+
+# Backwards-compat alias (JPEG itself IS supported since round 4 via
+# sources/jpeg.py; only non-png/jpeg formats raise now)
+JpegNotSupported = ImageFormatNotSupported
 
 
 class AudioNotSupported(NotImplementedError):
@@ -189,17 +197,35 @@ _CAPTION_STYLES = ["at sunrise", "in heavy fog", "under a full moon",
                    "during a storm", "in deep winter"]
 
 
-def synth_image_rows(ids: np.ndarray, seed: int = 42) -> pa.Table:
-    """Deterministic image+caption rows (real PNGs) for the given ids."""
+def decode_image(buf: bytes, fmt: str) -> np.ndarray:
+    """bytes -> (h, w, 3) uint8, dispatching on the fmt column."""
+    if fmt == "png":
+        return png_decode(buf)
+    if fmt == "jpeg":
+        return jpeg_decode(buf)
+    raise ImageFormatNotSupported(f"no codec for fmt {fmt!r}")
+
+
+def synth_image_rows(ids: np.ndarray, seed: int = 42,
+                     fmt: str = "png") -> pa.Table:
+    """Deterministic image+caption rows for the given ids.
+
+    fmt: 'png' (lossless), 'jpeg' (baseline, quality 98 — lossy with
+    PSNR > 40 dB on this fixture), or 'mixed' (per-row hash choice)."""
     ids = np.asarray(ids, dtype=np.int64)
     widths = _SIZES[(rand01(ids, seed, 20) * len(_SIZES)).astype(int)]
     heights = _SIZES[(rand01(ids, seed, 21) * len(_SIZES)).astype(int)]
     subj = (rand01(ids, seed, 22) * len(_CAPTION_SUBJECTS)).astype(int)
     styl = (rand01(ids, seed, 23) * len(_CAPTION_STYLES)).astype(int)
+    if fmt == "mixed":
+        fmts = np.where(rand01(ids, seed, 24) < 0.5, "png", "jpeg")
+    else:
+        fmts = np.full(len(ids), fmt, dtype=object)
     image_ids, blobs, caps, hashes = [], [], [], []
     for k, i in enumerate(ids.tolist()):
         px = synth_pixels(i, seed, int(widths[k]), int(heights[k]))
-        blobs.append(png_encode(px))
+        blobs.append(png_encode(px) if fmts[k] == "png"
+                     else jpeg_encode(px, JPEG_QUALITY))
         image_ids.append(f"img{i:08d}")
         caps.append(f"A photo of {_CAPTION_SUBJECTS[subj[k]]} "
                     f"{_CAPTION_STYLES[styl[k]]} (#{i}).")
@@ -209,13 +235,14 @@ def synth_image_rows(ids: np.ndarray, seed: int = 42) -> pa.Table:
         "bytes": pa.array(blobs, pa.binary()),
         "w": pa.array(widths, pa.int32()),
         "h": pa.array(heights, pa.int32()),
-        "fmt": pa.array(["png"] * len(ids), pa.string()),
+        "fmt": pa.array(list(fmts), pa.string()),
         "caption": pa.array(caps, pa.string()),
         "phash": pa.array(hashes, pa.int64()),
     }, schema=IMAGE_SCHEMA)
 
 
-def ray_image_table(n: int, seed: int = 42, parallelism: int = -1):
+def ray_image_table(n: int, seed: int = 42, parallelism: int = -1,
+                    fmt: str = "png"):
     """Distributed deterministic image table (row i independent of batching).
 
     Wide binary rows: keep batches small so batch x concurrency fits worker heaps."""
@@ -223,7 +250,7 @@ def ray_image_table(n: int, seed: int = 42, parallelism: int = -1):
 
     def build(batch: pa.Table) -> pa.Table:
         return synth_image_rows(
-            batch["id"].to_numpy(zero_copy_only=False), seed)
+            batch["id"].to_numpy(zero_copy_only=False), seed, fmt)
 
     ds = rd.range(n, override_num_blocks=parallelism if parallelism > 0
                   else None)
@@ -238,9 +265,9 @@ class DecodeImages:
     """Actor-pool stage: bytes -> flat pixel column + dims.
 
     Use as ``ds.map_batches(DecodeImages, concurrency=N, batch_size=64,
-    batch_format="pyarrow")``.  JPEG rows raise :class:`JpegNotSupported`
-    unless ``skip_undecodable`` — the stub of SURVEY's multimodal column
-    plan."""
+    batch_format="pyarrow")``.  png and baseline jpeg decode in-process
+    (pure-Python codecs); other formats raise
+    :class:`ImageFormatNotSupported` unless ``skip_undecodable``."""
 
     def __init__(self, skip_undecodable: bool = False):
         self.skip = skip_undecodable
@@ -251,17 +278,12 @@ class DecodeImages:
         bufs = t["bytes"].to_pylist()
         iids = t["image_id"].to_pylist()
         for iid, fmt, buf in zip(iids, fmts, bufs):
-            if fmt == "png":
-                px = png_decode(buf)
-            elif fmt == "jpeg":
+            try:
+                px = decode_image(buf, fmt)
+            except ImageFormatNotSupported:
                 if self.skip:
                     continue
-                raise JpegNotSupported(
-                    "jpeg decode not available in this environment")
-            else:
-                if self.skip:
-                    continue
-                raise ValueError(f"unknown fmt {fmt!r}")
+                raise
             out_id.append(iid)
             out_px.append(px.reshape(-1))
             out_w.append(px.shape[1])
@@ -290,7 +312,7 @@ def make_verify_fn(seed: int = 42):
         ok_psnr, ok_cap, psnrs = [], [], []
         for row in t.to_pylist():
             i = int(row["image_id"][3:])
-            px = png_decode(row["bytes"])
+            px = decode_image(row["bytes"], row["fmt"])
             ref = synth_pixels(i, seed, row["w"], row["h"])
             p = psnr(px, ref)
             psnrs.append(p if np.isfinite(p) else 99.0)
@@ -334,9 +356,7 @@ class ResizeImages:
     def __call__(self, t: pa.Table) -> pa.Table:
         ids, blobs = [], []
         for row in t.to_pylist():
-            if row["fmt"] != "png":
-                raise JpegNotSupported("resize needs decodable input")
-            small = self._resize(png_decode(row["bytes"]))
+            small = self._resize(decode_image(row["bytes"], row["fmt"]))
             ids.append(row["image_id"])
             blobs.append(png_encode(small))
         return pa.table({
@@ -361,7 +381,7 @@ class PatchImages:
         iid, pxs, pys, blobs, ws, hs = [], [], [], [], [], []
         g = self.grid
         for row in t.to_pylist():
-            px = png_decode(row["bytes"])
+            px = decode_image(row["bytes"], row.get("fmt", "png"))
             h, w, _ = px.shape
             ys = (np.arange(g + 1) * h) // g
             xs = (np.arange(g + 1) * w) // g

@@ -356,7 +356,7 @@ def jpeg_decode(buf: bytes) -> np.ndarray:
             if prec != 8 or nc != 3:
                 raise ValueError("only 8-bit 3-component baseline")
             for c in range(nc):
-                cid, samp, qid = payload[5 + 3 * c:8 + 3 * c]
+                cid, samp, qid = payload[6 + 3 * c:9 + 3 * c]
                 if samp != 0x11:
                     raise ValueError("subsampling unsupported")
                 comps.append((cid, qid))

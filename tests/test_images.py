@@ -95,13 +95,50 @@ def test_ray_image_pipeline(ray_session):
     assert all(r["psnr_db"] >= 40 for r in vr)
 
 
-def test_jpeg_stub():
-    t = synth_image_rows(np.array([1]))
-    t = t.set_column(4, "fmt", pa.array(["jpeg"]))
-    with pytest.raises(JpegNotSupported):
-        DecodeImages()(t)
-    out = DecodeImages(skip_undecodable=True)(t)
-    assert len(out) == 0
+def test_jpeg_roundtrip_psnr():
+    """Baseline JPEG (pure-numpy codec): real lossy compression with the
+    input_hint invariant PSNR >= 40 dB, including non-multiple-of-8 dims
+    (edge-replicated block padding)."""
+    from hecatoncheir_ray.sources.images import psnr, synth_pixels
+    from hecatoncheir_ray.sources.jpeg import jpeg_decode, jpeg_encode
+    for idx, (w, h) in [(3, (32, 32)), (7, (48, 64)), (11, (40, 24)),
+                        (13, (33, 51))]:
+        px = synth_pixels(idx, 42, w, h)
+        buf = jpeg_encode(px, 98)
+        out = jpeg_decode(buf)
+        assert out.shape == px.shape
+        p = psnr(out, px)
+        assert 40.0 <= p < 60.0          # lossy, not a disguised copy
+        assert len(buf) < px.nbytes      # actually compressed
+
+
+def test_jpeg_rows_and_decode_stage():
+    """fmt='jpeg' / 'mixed' synthesis produces decodable rows; the
+    DecodeImages actor stage dispatches per row; unknown fmt raises."""
+    from hecatoncheir_ray.sources.images import ImageFormatNotSupported
+    t = synth_image_rows(np.arange(6), fmt="mixed")
+    fmts = set(t["fmt"].to_pylist())
+    assert fmts <= {"png", "jpeg"} and len(fmts) == 2
+    out = DecodeImages()(t)
+    assert len(out) == 6
+    assert out["w"].to_pylist() == t["w"].to_pylist()
+    bad = t.set_column(4, "fmt", pa.array(["webp"] * 6))
+    with pytest.raises(ImageFormatNotSupported):
+        DecodeImages()(bad)
+    assert len(DecodeImages(skip_undecodable=True)(bad)) == 0
+
+
+def test_jpeg_verify_invariant(ray_session):
+    """make_verify_fn over an all-jpeg table: every row >= 40 dB with
+    caption equality — the lossy half of the input_hint invariant."""
+    from hecatoncheir_ray.sources.images import (make_verify_fn,
+                                                 ray_image_table)
+    vr = ray_image_table(40, seed=42, fmt="jpeg") \
+        .map_batches(make_verify_fn(42), batch_format="pyarrow",
+                     batch_size=16).take_all()
+    assert len(vr) == 40
+    assert all(r["psnr_ok"] and r["caption_ok"] for r in vr)
+    assert all(40.0 <= r["psnr_db"] < 99.0 for r in vr)  # finite => lossy
 
 
 def test_resize_and_patch():
