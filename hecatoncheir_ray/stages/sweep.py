@@ -667,10 +667,28 @@ def _april_intersects_decision(april, r_rows, s_rows):
 
 def _april_topology_batch(april, r_rows, s_rows, mbr_cases, interiors):
     """Vectorized ``april_topology`` containment dispatch (J6,
-    src/APRIL/filter.cpp:18-223) for the MBR containment cases: one
-    pairwise interval-containment join per direction instead of a
-    per-pair Python loop.  ``interiors`` must already be ANDed with
-    list-validity by the caller.  Returns (rel, decided)."""
+    src/APRIL/filter.cpp:18-223 + join.cpp MBR*JoinAPRIL): one pairwise
+    interval join per direction instead of a per-pair Python loop.
+    ``interiors`` must already be ANDed with list-validity by the caller.
+    Returns (rel, decided).
+
+    Mirrors every CONCLUSIVE outcome of the reference's dispatch,
+    including the empty-FULL-list branch (a geometry smaller than one
+    raster cell has no FULL intervals: A-containment + F_r x A_s overlap
+    is then a conclusive INTERSECT, join.cpp MBRRinSContainmentJoinAPRIL
+    case 2-else) and the AA-MATCH exclusion on the MBR_EQUAL path (equal
+    A-lists route to the equality refinement, never to a premature
+    INSIDE/CONTAINS — join.cpp MBREqualJoinAPRIL).  The reference's
+    REFINE_* codes restrict which relations the refinement must test;
+    here the refinement computes the full DE-9IM matrix in one
+    vectorized pass, so the restriction changes no answers and the
+    undecided remainder simply falls through to the mega-batched
+    geometric stages.  (Deliberate deviation, documented: the
+    reference's APRIL-on MBR_EQUAL path can emit TR_MEET via a geometric
+    isMeet probe, which its own APRIL-OFF path never does
+    (topology.cpp:272-291) — we mirror the APRIL-off semantics on both
+    paths so filter-on == filter-off holds, which the stage-equivalence
+    tests assert.)"""
     from ..april import intervals_contained_pairs
     ao, av, fo, fv = april
     P = len(r_rows)
@@ -683,6 +701,10 @@ def _april_topology_batch(april, r_rows, s_rows, mbr_cases, interiors):
     c_rs_a = intervals_contained_pairs(av, ao, r_rows, av, ao, s_rows)
     c_sr_f = intervals_contained_pairs(av, ao, s_rows, fv, fo, r_rows)
     c_sr_a = intervals_contained_pairs(av, ao, s_rows, av, ao, r_rows)
+    fo = np.asarray(fo, dtype=np.int64)
+    fs_empty = (fo[s_rows + 1] - fo[s_rows]) == 0
+    fr_empty = (fo[r_rows + 1] - fo[r_rows]) == 0
+    match = c_rs_a & c_sr_a            # identical A-lists (IL_MATCH)
     from ..geometry.predicates import (MBR_EQUAL, MBR_R_IN_S, MBR_S_IN_R,
                                        TR_CONTAINS, TR_INSIDE)
     m = cont & (mbr_cases == MBR_R_IN_S)
@@ -692,6 +714,11 @@ def _april_topology_batch(april, r_rows, s_rows, mbr_cases, interiors):
     mm = m & ~c_rs_f & ~c_rs_a
     rel[mm] = TR_INTERSECT        # provably pokes out of S
     decided |= mm
+    # A_r inside A_s but S has no FULL cells: interiors overlap is
+    # conclusive INTERSECT (hit here means F_r x A_s since F_s is empty)
+    mm = m & c_rs_a & ~c_rs_f & fs_empty
+    rel[mm] = TR_INTERSECT
+    decided |= mm
     m = cont & (mbr_cases == MBR_S_IN_R)
     mm = m & c_sr_f
     rel[mm] = TR_CONTAINS
@@ -699,11 +726,14 @@ def _april_topology_batch(april, r_rows, s_rows, mbr_cases, interiors):
     mm = m & ~c_sr_f & ~c_sr_a
     rel[mm] = TR_INTERSECT
     decided |= mm
-    m = cont & (mbr_cases == MBR_EQUAL)
-    mm = m & c_rs_f
+    mm = m & c_sr_a & ~c_sr_f & fr_empty
+    rel[mm] = TR_INTERSECT
+    decided |= mm
+    m = cont & (mbr_cases == MBR_EQUAL) & ~match
+    mm = m & c_rs_a & c_rs_f
     rel[mm] = TR_INSIDE
     decided |= mm
-    mm = m & ~c_rs_f & c_sr_f
+    mm = m & ~c_rs_f & c_sr_a & c_sr_f
     rel[mm] = TR_CONTAINS
     decided |= mm
     mm = m & ~c_rs_f & ~c_sr_f & ~c_rs_a & ~c_sr_a

@@ -288,3 +288,93 @@ def test_order16_corner_no_overflow():
     assert int(a.max()) <= 1 << 32
     assert april_filter_predicate("intersects", a, f, a, f) \
         != TRUE_NEGATIVE
+
+
+def test_topology_dispatch_parity_and_superset():
+    """Round-4 containment dispatch (_april_topology_batch):
+
+    1. SOUND — every decided pair agrees with the exact geometric
+       find_relation for its MBR case;
+    2. SUPERSET — it decides at least every pair the round-3 rule set
+       decided, except equal-A-list pairs (deliberately routed to the
+       equality refinement now: an exactly-equal pair must report
+       TR_EQUAL, not the premature INSIDE the old shortcut gave).
+    """
+    from hecatoncheir_ray.april import intervals_contained_pairs
+    from hecatoncheir_ray.geometry import find_relation
+    from hecatoncheir_ray.geometry.predicates import (MBR_INTERSECT,
+                                                      MBR_EQUAL,
+                                                      MBR_R_IN_S,
+                                                      MBR_S_IN_R,
+                                                      relate_mbrs_batch)
+    from hecatoncheir_ray.stages.sweep import (_april_intersects_decision,
+                                               _april_topology_batch)
+
+    t1 = table_layer("polygons", 30, seed=12, bounds=(8, 8, 56, 56),
+                     min_edge=1.5, max_edge=6.0, min_v=4, max_v=10)
+    t2 = table_layer("polygons", 30, seed=13, bounds=(4, 4, 60, 60),
+                     min_edge=8.0, max_edge=24.0, min_v=5, max_v=12)
+    rows = t1.to_pylist() + t2.to_pylist()
+    # append an exact duplicate of row 0 to force an equal-A-list pair
+    rows.append(dict(rows[0]))
+    a_list, f_list = [], []
+    for r in rows:
+        a, f = rasterize_geometry(GT_POLYGON, np.asarray(r["coords"]),
+                                  BOUNDS, ORDER)
+        a_list.append(np.asarray(a, dtype=np.uint64))
+        f_list.append(np.asarray(f, dtype=np.uint64))
+    ao = np.concatenate([[0], np.cumsum([len(x) for x in a_list])]) \
+        .astype(np.int64)
+    fo = np.concatenate([[0], np.cumsum([len(x) for x in f_list])]) \
+        .astype(np.int64)
+    av = (np.concatenate(a_list) if a_list else
+          np.zeros(0, np.uint64)).astype(np.uint64)
+    fv = (np.concatenate(f_list) if f_list else
+          np.zeros(0, np.uint64)).astype(np.uint64)
+    april = (ao, av, fo, fv)
+
+    n = len(rows)
+    ri = np.repeat(np.arange(n), n)
+    si = np.tile(np.arange(n), n)
+    keep = ri != si
+    ri, si = ri[keep], si[keep]
+    mb = np.array([[r["minx"], r["miny"], r["maxx"], r["maxy"]]
+                   for r in rows])
+    cases = relate_mbrs_batch(mb[ri, 0], mb[ri, 1], mb[ri, 2], mb[ri, 3],
+                              mb[si, 0], mb[si, 1], mb[si, 2], mb[si, 3])
+    hit, neg = _april_intersects_decision(april, ri, si)
+    interiors = hit & ~neg
+    rel4, dec4 = _april_topology_batch(april, ri, si, cases, interiors)
+
+    # soundness vs the exact classifier
+    checked = 0
+    for k in np.nonzero(dec4)[0].tolist():
+        i, j = int(ri[k]), int(si[k])
+        exact = find_relation(
+            GT_POLYGON, np.asarray(rows[i]["coords"]),
+            GT_POLYGON, np.asarray(rows[j]["coords"]), int(cases[k]))
+        assert rel4[k] == exact, (i, j, int(cases[k]), rel4[k], exact)
+        checked += 1
+    assert checked > 0          # the dispatch decides a meaningful share
+
+    # round-3 rule set, reimplemented inline
+    c_rs_f = intervals_contained_pairs(av, ao, ri, fv, fo, si)
+    c_rs_a = intervals_contained_pairs(av, ao, ri, av, ao, si)
+    c_sr_f = intervals_contained_pairs(av, ao, si, fv, fo, ri)
+    c_sr_a = intervals_contained_pairs(av, ao, si, av, ao, ri)
+    cont = interiors & (cases != MBR_INTERSECT)
+    dec3 = cont & (
+        ((cases == MBR_R_IN_S) & (c_rs_f | (~c_rs_f & ~c_rs_a)))
+        | ((cases == MBR_S_IN_R) & (c_sr_f | (~c_sr_f & ~c_sr_a)))
+        | ((cases == MBR_EQUAL) & (c_rs_f | (~c_rs_f & c_sr_f)
+                                   | (~c_rs_f & ~c_sr_f
+                                      & ~c_rs_a & ~c_sr_a))))
+    match = c_rs_a & c_sr_a
+    lost = dec3 & ~dec4
+    assert not (lost & ~match).any()
+    # the duplicate pair exists, is an equal-A-list containment case,
+    # and correctly routes to refinement instead of a premature INSIDE
+    dup = (ri == n - 1) | (si == n - 1)
+    eqpairs = dup & (cases == MBR_EQUAL) & match & interiors
+    assert eqpairs.any()
+    assert not dec4[eqpairs].any()
