@@ -463,8 +463,8 @@ def run_quantiles(n: int = 20_000_000):
 
 def run_minhash() -> dict:
     """MinHash-LSH shuffle-volume accounting (VERDICT r3 #1): bytes that
-    cross the all-to-all under the round-4 layout (sig-only band rows +
-    the shingle table shipped once per attach side) vs the round-3 layout
+    cross the all-to-all under the round-4 layout (3-int band rows + the
+    shingle table shipped once per attach side) vs the round-3 layout
     (full shingle set + signature riding EVERY band row), plus end-to-end
     wall and the verified pair count (which must not change)."""
     import hashlib

@@ -1,23 +1,19 @@
 """Deduplication operators for training-data pipelines.
 
-Scale pattern: per-batch vectorized signatures -> explode to (band, key)
-rows carrying the verification payload (shingle set / simhash / normalized
-embedding) as a column -> ONE groupby shuffle on the band key -> pairs are
-formed AND exactly verified inside ``map_groups``.  Nothing corpus-sized
-ever lands on the driver: the driver sees only the verified pair list.
+Scale pattern (MinHash, round 4): per-batch vectorized signatures ->
+explode to 3-int (band, h, doc_id) rows -> ONE hash-partitioned groupby
+whose kernel segments all of its buckets vectorized (never one Python
+call per bucket: bucket count is corpus x bands) -> candidate pairs
+dedup in a pair-scale groupby -> shingle sets hash-join back for exact
+Jaccard verification.  Nothing corpus-sized ever lands on the driver:
+the driver sees only the verified pair list, and nothing heavier than
+3 ints per band row ever rides the xbands-amplified shuffle.
 
-Exactly-once emission without a second shuffle: every row also carries the
-FULL signature, so band b's bucket can check whether a pair already
-collides in some band b' < b (vectorized slice compare) and skip it —
-each pair is emitted by its lowest colliding band only.
-
-Memory bound per bucket: a bucket's population is the set of docs sharing
-one band signature, i.e. a near-duplicate cluster (plus hash-collision
-noise, ~ n/2^64 expected).  Verification builds an (n x U) membership
-matrix (U = union of the cluster's shingle sets); for a cluster of n docs
-of ~S shingles each that is n * n*S int32 — safe for real clusters (n in
-the tens).  A corpus dominated by byte-identical docs should run
-``exact_dedup_groups`` first so clusters enter the LSH stage collapsed.
+Memory bound per bucket: a bucket's population is the set of docs
+sharing one band signature, i.e. a near-duplicate cluster (plus
+hash-collision noise, ~ n/2^64 expected).  A corpus dominated by
+byte-identical docs should run ``exact_dedup_groups`` first so clusters
+enter the LSH stage collapsed.
 
 * exact:     content-hash groupby, keep min id per group (SQL twin).
 * MinHash+LSH: char-shingle -> k permutations -> b bands x r rows; a pair
@@ -314,30 +310,39 @@ def _sorted_pairs_df(pairs: Dataset) -> pd.DataFrame:
         .reset_index(drop=True)
 
 
-def minhash_band_rows(docs: Dataset, num_perm: int = 64, bands: int = 32,
-                      shingle_k: int = 5, seed: int = 1) -> Dataset:
-    """Stage 1 of MinHash-LSH: (bucket, doc_id, sig) band rows — the ONLY
-    thing the LSH shuffle moves.  sig rides so the bucket group can apply
-    the lowest-colliding-band rule (exactly-once candidate emission);
-    shingle sets do NOT ride (they are hash-joined back for verification,
-    see minhash_near_dup_pairs) — at ``bands`` bands that drops the
-    all-to-all payload by ~ the shingles/sig size ratio (typically >10x)
-    times the band fan-out."""
+def minhash_band_rows(docs: Dataset, num_perm: int = 128, bands: int = 32,
+                      shingle_k: int = 5, seed: int = 1,
+                      num_parts: int = 256) -> Dataset:
+    """Stage 1 of MinHash-LSH: (band, h, doc_id, part) band rows — 3 int
+    columns per row are the ONLY thing the LSH shuffle moves (~1 KB/doc
+    at 32 bands).  Neither signatures nor shingle sets ride: candidate
+    pairs are deduped by a pair-level groupby afterwards and shingles are
+    hash-joined back for verification (minhash_near_dup_pairs).
+
+    Bucket identity is (band, h) with h = blake2b-64 of the band's
+    signature slice — identical collision semantics to the round-3
+    string key, kept as int64 so the shuffle sorts machine words."""
     r = num_perm // bands
 
     def sig_rows(df: pd.DataFrame) -> pd.DataFrame:
-        bks, dids, sigs = [], [], []
+        bnd, hs, dids = [], [], []
         for did, text in zip(df["doc_id"], df["text"].fillna("")):
             sh = char_shingles(text, shingle_k)
             sig = minhash_signature(sh, num_perm, seed)
             for b in range(bands):
-                band = sig[b * r:(b + 1) * r]
-                key = hashlib.blake2b(band.tobytes(),
-                                      digest_size=8).hexdigest()
-                bks.append(f"{b:02d}:{key}")
+                key = int.from_bytes(
+                    hashlib.blake2b(sig[b * r:(b + 1) * r].tobytes(),
+                                    digest_size=8).digest(), "little")
+                bnd.append(b)
+                hs.append(np.uint64(key))
                 dids.append(int(did))
-                sigs.append(sig.tobytes())
-        return pd.DataFrame({"bucket": bks, "doc_id": dids, "sig": sigs})
+        h = np.array(hs, dtype=np.uint64)
+        return pd.DataFrame({
+            "band": np.array(bnd, dtype=np.int16),
+            "h": h.view(np.int64),
+            "doc_id": np.array(dids, dtype=np.int64),
+            "part": (_mix(h ^ np.uint64(0xB00))
+                     % np.uint64(num_parts)).astype(np.int64)})
 
     return docs.select_columns(["doc_id", "text"]) \
         .map_batches(sig_rows, batch_format="pandas")
@@ -364,89 +369,183 @@ def shingle_table(docs: Dataset, shingle_k: int = 5) -> Dataset:
 
 
 def minhash_near_dup_pairs(docs: Dataset, threshold: float = 0.6,
-                           num_perm: int = 64, bands: int = 32,
+                           num_perm: int = 128, bands: int = 32,
                            shingle_k: int = 5, seed: int = 1,
                            join_parts: int | None = None) -> Dataset:
     """MinHash-LSH near-duplicate pairs, exact-Jaccard verified.
 
-    bands x rows = num_perm; recall for J >= t is 1-(1-J^r)^b (with r=2,
-    b=32: ~1.0 for J >= 0.8, 0.97 for J = 0.6).  Verification is exact, so
-    precision is 1.0.
+    bands x rows = num_perm; recall for J >= t is 1-(1-J^r)^b.  The
+    default is r=4, b=32 (num_perm=128): recall 0.9999 at J = 0.7 and
+    0.988 at J = 0.6, while a NON-duplicate J = 0.2 pair collides with
+    probability ~5% — r=2 floods the candidate set with low-J pairs
+    (~73% collision at J = 0.2), which at corpus scale turns the exact
+    verification into an all-pairs job.  Verification is exact, so
+    precision is 1.0 regardless.
 
-    Shuffle shape (the 100 TB path): band rows carry (bucket, doc_id, sig)
-    ONLY — the full shingle sets stay out of the xbands-amplified LSH
-    shuffle.  Buckets emit CANDIDATE pairs (each from its lowest colliding
-    band, so exactly once); the pair-scale candidate set is then
-    hash-joined back against a once-computed (doc_id, shingles) table and
-    verified with exact Jaccard.  Two ~1x-data exchanges instead of one
-    32x one; the driver never sees documents, shingles, or candidates.
-    (Shingles are computed twice — once under the signature, once for the
-    verify table — trading cheap recompute for the shuffle-byte drop.)
+    Shuffle shape (the 100 TB path): band rows carry (band, h, doc_id)
+    int columns ONLY — neither shingle sets nor signatures ride the
+    xbands-amplified LSH shuffle (~1 KB/doc total at 32 bands).  One
+    hash-partitioned groupby segments every bucket inside a vectorized
+    kernel (NOT one Python call per bucket — bucket count is corpus x
+    bands); colliding buckets emit candidate pairs, a pair-level groupby
+    dedups the multi-band repeats (pair-scale), and the candidates are
+    hash-joined back against a once-computed (doc_id, shingles) table
+    for exact-Jaccard verification.  The driver never sees documents,
+    shingles, or candidates.  (Shingles are computed twice — once under
+    the signature, once for the verify table — trading cheap recompute
+    for the shuffle-byte drop.)
 
     Returns the (doc_id_a, doc_id_b) pair DATASET (stays in the object
     store — feed it to near_dup_clusters/dedup_canonical at scale);
     ``minhash_near_dups`` is the driver-materializing wrapper."""
-    r = num_perm // bands
 
-    def cand_group(g: pd.DataFrame) -> pd.DataFrame:
-        n = len(g)
-        if n < 2:
+    def cand_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        band = g["band"].to_numpy()
+        h = g["h"].to_numpy()
+        did = g["doc_id"].to_numpy().astype(np.int64)
+        order = np.lexsort((did, h, band))
+        band, h, did = band[order], h[order], did[order]
+        new = np.concatenate([[True], (band[1:] != band[:-1])
+                              | (h[1:] != h[:-1])])
+        starts = np.flatnonzero(new)
+        ends = np.concatenate([starts[1:], [len(h)]])
+        out_a, out_b = [], []
+        for a, b in zip(starts.tolist(), ends.tolist()):
+            n = b - a
+            if n < 2:
+                continue
+            ids = did[a:b]
+            iu, ju = np.triu_indices(n, 1)
+            out_a.append(ids[iu])
+            out_b.append(ids[ju])
+        if not out_a:
             return _EMPTY_PAIRS.copy()
-        order = np.argsort(g["doc_id"].to_numpy())
-        ids = g["doc_id"].to_numpy()[order].astype(np.int64)
-        b = int(g["bucket"].iloc[0].split(":", 1)[0])
-        iu, ju = np.triu_indices(n, 1)
-        if b > 0:
-            S = np.stack([np.frombuffer(s, dtype=np.uint64)
-                          for s in g["sig"].to_numpy()[order]])
-            Sb = S.reshape(n, bands, r)[:, :b, :]
-            dup = (Sb[iu] == Sb[ju]).all(axis=2).any(axis=1)
-            iu, ju = iu[~dup], ju[~dup]
-        if len(iu) == 0:
-            return _EMPTY_PAIRS.copy()
-        return pd.DataFrame({"doc_id_a": ids[iu], "doc_id_b": ids[ju]})
+        pairs = np.unique(np.stack([np.concatenate(out_a),
+                                    np.concatenate(out_b)], axis=1),
+                          axis=0)
+        return pd.DataFrame({"doc_id_a": pairs[:, 0],
+                             "doc_id_b": pairs[:, 1]})
 
-    cand = minhash_band_rows(docs, num_perm, bands, shingle_k, seed) \
-        .groupby("bucket").map_groups(cand_group, batch_format="pandas") \
+    from .idjoin import _part_of
+    parts = join_parts or 256
+    cand = minhash_band_rows(docs, num_perm, bands, shingle_k, seed,
+                             num_parts=parts) \
+        .groupby("part").map_groups(cand_kernel, batch_format="pandas") \
         .materialize()
-    # empty right/left sides break the hash join (schema-less empty
-    # blocks); the count is a scalar, cand is pair-scale + materialized
+    # empty inputs break downstream shapes; the count is a scalar and
+    # cand is pair-scale + materialized (may still hold multi-band
+    # duplicate pairs — deduped inside the attach-A kernel, which
+    # co-locates every copy of a pair by hash(doc_id_a))
     if cand.count() == 0:
         import ray.data
         return ray.data.from_pandas(_EMPTY_PAIRS.copy())
 
-    from .idjoin import attach_bytes_by_id
-    parts = join_parts or 256
     sh = shingle_table(docs, shingle_k)
-    withA = attach_bytes_by_id(cand, "doc_id_a", sh, "doc_id",
-                               "sh", "sh_a", parts)
-    withAB = attach_bytes_by_id(withA, "doc_id_b", sh, "doc_id",
-                                "sh", "sh", parts)
 
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
+    # stage A: co-partition pairs + shingles on doc_id_a; the kernel
+    # DEDUPS the pair set (exactly-once emission) and attaches sh_a
+    def tag_pairs_a(df: pd.DataFrame) -> pd.DataFrame:
+        kv = df["doc_id_a"].to_numpy().astype(np.int64)
+        return pd.DataFrame({
+            "key": kv,
+            "doc_id_b": df["doc_id_b"].to_numpy().astype(np.int64),
+            "sh_a": np.full(len(df), b"", dtype=object),
+            "_tag": np.int8(0),
+            "_part": _part_of(kv, parts)})
+
+    def tag_sh_a(df: pd.DataFrame) -> pd.DataFrame:
+        kv = df["doc_id"].to_numpy().astype(np.int64)
+        return pd.DataFrame({
+            "key": kv,
+            "doc_id_b": np.zeros(len(df), dtype=np.int64),
+            "sh_a": df["sh"].to_numpy(),
+            "_tag": np.int8(1),
+            "_part": _part_of(kv, parts)})
+
+    def attach_a_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        tags = g["_tag"].to_numpy()
+        data = g[tags == 0]
+        if len(data) == 0:
+            return pd.DataFrame({
+                "doc_id_a": pd.Series([], dtype=np.int64),
+                "doc_id_b": pd.Series([], dtype=np.int64),
+                "sh_a": pd.Series([], dtype=object)})
+        look = g[tags == 1]
+        lk = look["key"].to_numpy().astype(np.int64)
+        order = np.argsort(lk)
+        lk, pay = lk[order], look["sh_a"].to_numpy()[order]
+        pairs = np.unique(np.stack(
+            [data["key"].to_numpy().astype(np.int64),
+             data["doc_id_b"].to_numpy().astype(np.int64)], axis=1),
+            axis=0)
+        idx = np.searchsorted(lk, pairs[:, 0])
+        return pd.DataFrame({"doc_id_a": pairs[:, 0],
+                             "doc_id_b": pairs[:, 1],
+                             "sh_a": pay[idx]})
+
+    withA = cand.map_batches(tag_pairs_a, batch_format="pandas") \
+        .union(sh.map_batches(tag_sh_a, batch_format="pandas")) \
+        .groupby("_part").map_groups(attach_a_kernel,
+                                     batch_format="pandas")
+
+    # stage B FUSES the lookup with verification: pair rows co-partition
+    # with the shingle table on doc_id_b and the kernel emits only the
+    # verified (a, b) ids — doc B's shingles are looked up in the
+    # kernel, never materialized onto pair rows
+    def tag_pairs_b(df: pd.DataFrame) -> pd.DataFrame:
+        kv = df["doc_id_b"].to_numpy().astype(np.int64)
+        return pd.DataFrame({
+            "key": kv,
+            "doc_id_a": df["doc_id_a"].to_numpy().astype(np.int64),
+            "sh_a": df["sh_a"].to_numpy(),
+            "sh": np.full(len(df), b"", dtype=object),
+            "_tag": np.int8(0),
+            "_part": _part_of(kv, parts)})
+
+    def tag_sh_b(df: pd.DataFrame) -> pd.DataFrame:
+        kv = df["doc_id"].to_numpy().astype(np.int64)
+        return pd.DataFrame({
+            "key": kv,
+            "doc_id_a": np.zeros(len(df), dtype=np.int64),
+            "sh_a": np.full(len(df), b"", dtype=object),
+            "sh": df["sh"].to_numpy(),
+            "_tag": np.int8(1),
+            "_part": _part_of(kv, parts)})
+
+    def verify_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        tags = g["_tag"].to_numpy()
+        data = g[tags == 0]
+        if len(data) == 0:
             return _EMPTY_PAIRS.copy()
-        ok = np.zeros(len(df), dtype=bool)
-        sa_col = df["sh_a"].to_numpy()
-        sb_col = df["sh"].to_numpy()
-        for i in range(len(df)):
+        look = g[tags == 1]
+        lk = look["key"].to_numpy().astype(np.int64)
+        order = np.argsort(lk)
+        lk = lk[order]
+        pay = look["sh"].to_numpy()[order]
+        kb = data["key"].to_numpy().astype(np.int64)
+        ka = data["doc_id_a"].to_numpy().astype(np.int64)
+        sa_col = data["sh_a"].to_numpy()
+        idx = np.searchsorted(lk, kb)
+        ok = np.zeros(len(data), dtype=bool)
+        for i in range(len(data)):
             sa = np.frombuffer(sa_col[i], dtype=np.uint64)
-            sb = np.frombuffer(sb_col[i], dtype=np.uint64)
+            sb = np.frombuffer(pay[idx[i]], dtype=np.uint64)
             inter = len(np.intersect1d(sa, sb, assume_unique=True))
             union = len(sa) + len(sb) - inter
             # same float expression as jaccard() so thresholds round
             # identically to the in-bucket verifier this replaced
             jac = inter / max(union, 1) if union > 0 else 1.0
             ok[i] = jac >= threshold
-        return pd.DataFrame(
-            {"doc_id_a": df["doc_id_a"].to_numpy()[ok].astype(np.int64),
-             "doc_id_b": df["doc_id_b"].to_numpy()[ok].astype(np.int64)})
+        return pd.DataFrame({"doc_id_a": ka[ok], "doc_id_b": kb[ok]})
 
-    return withAB.map_batches(verify, batch_format="pandas")
+    tagged = withA.map_batches(tag_pairs_b, batch_format="pandas") \
+        .union(sh.map_batches(tag_sh_b, batch_format="pandas"))
+    return tagged.groupby("_part").map_groups(verify_kernel,
+                                              batch_format="pandas")
 
 
 def minhash_near_dups(docs: Dataset, threshold: float = 0.6,
-                      num_perm: int = 64, bands: int = 32,
+                      num_perm: int = 128, bands: int = 32,
                       shingle_k: int = 5, seed: int = 1) -> pd.DataFrame:
     """Driver-materialized (sorted) minhash_near_dup_pairs — for result
     inspection and the oracle queries; cluster pipelines should consume
@@ -488,7 +587,7 @@ def _sql_mix_ctes(name: str, src: str, keys: str, expr: str) -> str:
         {name} AS (SELECT {keys}, xor(v, v >> 32) AS v FROM {name}_s5)"""
 
 
-def minhash_near_dups_sql(threshold: float = 0.6, num_perm: int = 64,
+def minhash_near_dups_sql(threshold: float = 0.6, num_perm: int = 128,
                           bands: int = 32, shingle_k: int = 5,
                           seed: int = 1, src: str = "documents") -> str:
     """DuckDB twin of ``minhash_near_dups`` — the FULL pipeline rebuilt in
