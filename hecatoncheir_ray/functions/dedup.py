@@ -661,53 +661,77 @@ def minhash_near_dups_sql(threshold: float = 0.6, num_perm: int = 128,
 
 
 def simhash_near_dups(docs: Dataset, max_hamming: int = 3,
-                      token_hash: str = "fast") -> pd.DataFrame:
+                      token_hash: str = "fast",
+                      num_parts: int = 256) -> pd.DataFrame:
     """SimHash near-dups: EXACT for max_hamming <= 3 (4-band pigeonhole).
 
-    Hamming verification runs inside the band-bucket map_groups on the
-    uint64 signatures carried on the bucket rows; a pair is emitted only by
-    its lowest colliding 16-bit band.  token_hash='md5' makes the whole
-    pipeline bit-identical to ``simhash_near_dups_sql`` (the candidate set
-    is exhaustive by pigeonhole, so SQL's brute-force pair scan matches)."""
+    Band rows carry (band, key, doc_id, sig) ints only; ONE
+    hash-partitioned groupby segments every 16-bit-band bucket inside a
+    vectorized kernel (never one Python call per bucket — there are up
+    to 4 x 2^16 of them).  Hamming verification runs in the kernel on
+    the 8-byte signatures; a pair is emitted only by its lowest
+    colliding band (the sig rides cheaply, so exactly-once needs no
+    extra pair shuffle).  token_hash='md5' makes the whole pipeline
+    bit-identical to ``simhash_near_dups_sql`` (the candidate set is
+    exhaustive by pigeonhole, so SQL's brute-force pair scan matches)."""
 
     def sig_rows(df: pd.DataFrame) -> pd.DataFrame:
         texts = df["text"].fillna("").tolist()
         hs = simhash64_batch(texts, token_hash)
-        dids0 = df["doc_id"].to_numpy().astype(np.int64)
-        bks, dids, sigs = [], [], []
-        for did, h in zip(dids0, hs):
-            for b in range(4):
-                part = int((h >> np.uint64(16 * b)) & np.uint64(0xFFFF))
-                bks.append(f"{b}:{part}")
-                dids.append(int(did))
-                sigs.append(int(h))
-        return pd.DataFrame({"bucket": bks, "doc_id": dids,
-                             "sig": np.array(sigs, dtype=np.uint64)})
+        dids = df["doc_id"].to_numpy().astype(np.int64)
+        n = len(dids)
+        band = np.tile(np.arange(4, dtype=np.int16), n)
+        did4 = np.repeat(dids, 4)
+        sig4 = np.repeat(hs.astype(np.uint64), 4)
+        key = ((sig4 >> (np.uint64(16) * band.astype(np.uint64)))
+               & np.uint64(0xFFFF)).astype(np.int32)
+        bid = band.astype(np.uint64) * np.uint64(65536) \
+            + key.astype(np.uint64)
+        return pd.DataFrame({
+            "band": band, "key": key, "doc_id": did4,
+            "sig": sig4.view(np.int64),
+            "part": (_mix(bid) % np.uint64(num_parts)).astype(np.int64)})
 
-    def verify_group(g: pd.DataFrame) -> pd.DataFrame:
-        n = len(g)
-        if n < 2:
+    def verify_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        band = g["band"].to_numpy()
+        key = g["key"].to_numpy()
+        did = g["doc_id"].to_numpy().astype(np.int64)
+        sig = g["sig"].to_numpy().view(np.uint64)
+        order = np.lexsort((did, key, band))
+        band, key, did, sig = (band[order], key[order], did[order],
+                               sig[order])
+        new = np.concatenate([[True], (band[1:] != band[:-1])
+                              | (key[1:] != key[:-1])])
+        starts = np.flatnonzero(new)
+        ends = np.concatenate([starts[1:], [len(did)]])
+        out_a, out_b = [], []
+        for a, e in zip(starts.tolist(), ends.tolist()):
+            n = e - a
+            if n < 2:
+                continue
+            ids = did[a:e]
+            sg = sig[a:e]
+            b = int(band[a])
+            iu, ju = np.triu_indices(n, 1)
+            if b > 0:
+                sh = (sg[:, None] >> (np.uint64(16)
+                                      * np.arange(b, dtype=np.uint64)
+                                      [None, :])) & np.uint64(0xFFFF)
+                dup = (sh[iu] == sh[ju]).any(axis=1)
+                iu, ju = iu[~dup], ju[~dup]
+                if len(iu) == 0:
+                    continue
+            ok = hamming64(sg[iu], sg[ju]) <= max_hamming
+            out_a.append(ids[iu[ok]])
+            out_b.append(ids[ju[ok]])
+        if not out_a:
             return _EMPTY_PAIRS.copy()
-        order = np.argsort(g["doc_id"].to_numpy())
-        ids = g["doc_id"].to_numpy()[order].astype(np.int64)
-        sig = np.asarray(g["sig"].to_numpy()[order]).astype(np.uint64)
-        b = int(g["bucket"].iloc[0].split(":", 1)[0])
-        iu, ju = np.triu_indices(n, 1)
-        if b > 0:
-            sh = (sig[:, None] >> (np.uint64(16)
-                                   * np.arange(b, dtype=np.uint64)[None, :])
-                  ) & np.uint64(0xFFFF)
-            dup = (sh[iu] == sh[ju]).any(axis=1)
-            iu, ju = iu[~dup], ju[~dup]
-            if len(iu) == 0:
-                return _EMPTY_PAIRS.copy()
-        ok = hamming64(sig[iu], sig[ju]) <= max_hamming
-        return pd.DataFrame({"doc_id_a": ids[iu[ok]],
-                             "doc_id_b": ids[ju[ok]]})
+        return pd.DataFrame({"doc_id_a": np.concatenate(out_a),
+                             "doc_id_b": np.concatenate(out_b)})
 
     pairs = docs.select_columns(["doc_id", "text"]) \
         .map_batches(sig_rows, batch_format="pandas") \
-        .groupby("bucket").map_groups(verify_group, batch_format="pandas")
+        .groupby("part").map_groups(verify_kernel, batch_format="pandas")
     return _sorted_pairs_df(pairs)
 
 
@@ -744,19 +768,25 @@ def simhash_near_dups_sql(max_hamming: int = 3) -> str:
 
 def embedding_near_dups(vecs: Dataset, threshold: float = 0.95,
                         planes: int = 64, bands: int = 16,
-                        seed: int = 7) -> pd.DataFrame:
+                        seed: int = 7,
+                        num_parts: int = 256) -> pd.DataFrame:
     """Embedding near-dups: random-hyperplane signature bands -> exact
     INTEGER-cosine verification (the SimHash-for-vectors scale path).
 
-    Bucket rows carry the quantized-normalized int64 vector (simsearch
-    qnorm: w = FLOOR(u/||u||*1e6+0.5), score = w_a.w_b ~ 1e12*cosine) and
-    the raw plane bits; verification is one integer matmul inside each
-    band-bucket map_groups with the test ``score >= round(threshold*1e12)``
-    — the identical test DuckDB runs in ``embedding_near_dups_sql``,
-    so the verified pair set is bit-exact.  Candidate generation is LSH
-    (recall < 1 in theory; with 16 bands of 4 planes a cosine-0.95 pair is
-    missed with prob ~1e-20 — measured recall 1.0 on the fixtures).
-    Lowest-band exactly-once emission as above."""
+    Shuffle shape mirrors MinHash (round 4): band rows carry
+    (band, key, vec_id, bits64) ints only — the 64 plane bits pack into
+    ONE uint64 that both keys the buckets and drives the
+    lowest-colliding-band exactly-once rule, so neither the quantized
+    vector nor a bit array rides the xbands shuffle.  Buckets are
+    segmented vectorized inside hash-partition kernels; candidates then
+    attach w_a from a once-computed qnorm table and a FUSED lookup+
+    verify kernel on vec_id_b computes the integer score
+    ``w_a . w_b >= round(threshold*1e12)`` — the identical test DuckDB
+    runs in ``embedding_near_dups_sql``, so the verified pair set is
+    bit-exact.  Candidate generation is LSH (recall < 1 in theory; with
+    16 bands of 4 planes a cosine-0.95 pair is missed with prob ~1e-20
+    — measured recall 1.0 on the fixtures)."""
+    from .idjoin import _part_of
     from .simsearch import qnorm_matrix
     t_int = int(round(threshold * 1_000_000_000_000))
     rng = np.random.default_rng(seed)
@@ -764,48 +794,170 @@ def embedding_near_dups(vecs: Dataset, threshold: float = 0.95,
     dim = len(first["embedding"])
     H = rng.standard_normal((dim, planes))
     r = planes // bands
+    assert planes <= 64
+    sel = vecs.select_columns(["vec_id", "embedding"])
 
     def sig_rows(df: pd.DataFrame) -> pd.DataFrame:
         emb = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-        w = qnorm_matrix(emb)
-        bits = (emb @ H) > 0
-        bks, vids, wvs, bvs = [], [], [], []
-        for k, vid in enumerate(df["vec_id"]):
-            for b in range(bands):
-                key = np.packbits(bits[k, b * r:(b + 1) * r]).tobytes()
-                bks.append(f"{b:02d}:{key.hex()}")
-                vids.append(int(vid))
-                wvs.append(w[k])
-                bvs.append(bits[k].astype(np.uint8))
-        return pd.DataFrame({"bucket": bks, "vec_id": vids,
-                             "wvec": wvs, "bits": bvs})
+        bits = ((emb @ H) > 0)
+        n = len(emb)
+        # pack plane bits little-endian: bit p of bits64 = plane p sign
+        pw = (np.uint64(1) << np.arange(planes, dtype=np.uint64))
+        bits64 = (bits.astype(np.uint64) * pw[None, :]).sum(
+            axis=1, dtype=np.uint64)
+        band = np.tile(np.arange(bands, dtype=np.int16), n)
+        vid = np.repeat(df["vec_id"].to_numpy().astype(np.int64), bands)
+        b64 = np.repeat(bits64, bands)
+        key = ((b64 >> (band.astype(np.uint64) * np.uint64(r)))
+               & np.uint64((1 << r) - 1)).astype(np.int32)
+        bid = band.astype(np.uint64) * np.uint64(1 << r) \
+            + key.astype(np.uint64)
+        return pd.DataFrame({
+            "band": band, "key": key, "vec_id": vid,
+            "bits64": b64.view(np.int64),
+            "part": (_mix(bid ^ np.uint64(0xE3)) % np.uint64(num_parts))
+            .astype(np.int64)})
 
-    def verify_group(g: pd.DataFrame) -> pd.DataFrame:
-        n = len(g)
-        if n < 2:
+    def cand_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        band = g["band"].to_numpy()
+        key = g["key"].to_numpy()
+        vid = g["vec_id"].to_numpy().astype(np.int64)
+        b64 = g["bits64"].to_numpy().view(np.uint64)
+        order = np.lexsort((vid, key, band))
+        band, key, vid, b64 = (band[order], key[order], vid[order],
+                               b64[order])
+        new = np.concatenate([[True], (band[1:] != band[:-1])
+                              | (key[1:] != key[:-1])])
+        starts = np.flatnonzero(new)
+        ends = np.concatenate([starts[1:], [len(vid)]])
+        out_a, out_b = [], []
+        for a, e in zip(starts.tolist(), ends.tolist()):
+            n = e - a
+            if n < 2:
+                continue
+            ids = vid[a:e]
+            bb = b64[a:e]
+            b = int(band[a])
+            iu, ju = np.triu_indices(n, 1)
+            if b > 0:
+                # lowest colliding band: some earlier band's r bits equal
+                mask_lo = np.uint64((1 << (b * r)) - 1)
+                lo = bb & mask_lo
+                x = (lo[iu] ^ lo[ju])
+                dup = np.zeros(len(iu), dtype=bool)
+                for bb2 in range(b):
+                    m = np.uint64(((1 << r) - 1) << (bb2 * r))
+                    dup |= (x & m) == 0
+                iu, ju = iu[~dup], ju[~dup]
+                if len(iu) == 0:
+                    continue
+            out_a.append(ids[iu])
+            out_b.append(ids[ju])
+        if not out_a:
             return _EMPTY_PAIRS.copy()
-        order = np.argsort(g["vec_id"].to_numpy())
-        ids = g["vec_id"].to_numpy()[order].astype(np.int64)
-        b = int(g["bucket"].iloc[0].split(":", 1)[0])
-        iu, ju = np.triu_indices(n, 1)
-        if b > 0:
-            bits = np.stack([np.asarray(x, dtype=np.uint8)
-                             for x in g["bits"].to_numpy()[order]])
-            Bb = bits.reshape(n, bands, r)[:, :b, :]
-            dup = (Bb[iu] == Bb[ju]).all(axis=2).any(axis=1)
-            iu, ju = iu[~dup], ju[~dup]
-            if len(iu) == 0:
-                return _EMPTY_PAIRS.copy()
-        W = np.stack([np.asarray(v, dtype=np.int64)
-                      for v in g["wvec"].to_numpy()[order]])
-        score = W @ W.T
-        ok = score[iu, ju] >= t_int
-        return pd.DataFrame({"doc_id_a": ids[iu[ok]],
-                             "doc_id_b": ids[ju[ok]]})
+        return pd.DataFrame({"doc_id_a": np.concatenate(out_a),
+                             "doc_id_b": np.concatenate(out_b)})
 
-    pairs = vecs.select_columns(["vec_id", "embedding"]) \
-        .map_batches(sig_rows, batch_format="pandas") \
-        .groupby("bucket").map_groups(verify_group, batch_format="pandas")
+    cand = sel.map_batches(sig_rows, batch_format="pandas") \
+        .groupby("part").map_groups(cand_kernel, batch_format="pandas") \
+        .materialize()
+    if cand.count() == 0:
+        return _EMPTY_PAIRS.copy().rename(
+            columns={"doc_id_a": "vec_id_a", "doc_id_b": "vec_id_b"})
+
+    def wrows(df: pd.DataFrame) -> pd.DataFrame:
+        emb = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        return pd.DataFrame({
+            "vec_id": df["vec_id"].to_numpy().astype(np.int64),
+            "w": [x.tobytes() for x in qnorm_matrix(emb)]})
+
+    wt = sel.map_batches(wrows, batch_format="pandas")
+
+    # attach w_a (pairs co-partitioned with the qnorm table on the A id)
+    def tag_pairs_a(df: pd.DataFrame) -> pd.DataFrame:
+        kv = df["doc_id_a"].to_numpy().astype(np.int64)
+        return pd.DataFrame({
+            "key": kv,
+            "doc_id_b": df["doc_id_b"].to_numpy().astype(np.int64),
+            "w_a": np.full(len(df), b"", dtype=object),
+            "_tag": np.int8(0), "_part": _part_of(kv, num_parts)})
+
+    def tag_w_a(df: pd.DataFrame) -> pd.DataFrame:
+        kv = df["vec_id"].to_numpy().astype(np.int64)
+        return pd.DataFrame({
+            "key": kv,
+            "doc_id_b": np.zeros(len(df), dtype=np.int64),
+            "w_a": df["w"].to_numpy(),
+            "_tag": np.int8(1), "_part": _part_of(kv, num_parts)})
+
+    def attach_a_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        tags = g["_tag"].to_numpy()
+        data = g[tags == 0]
+        if len(data) == 0:
+            return pd.DataFrame({
+                "doc_id_a": pd.Series([], dtype=np.int64),
+                "doc_id_b": pd.Series([], dtype=np.int64),
+                "w_a": pd.Series([], dtype=object)})
+        look = g[tags == 1]
+        lk = look["key"].to_numpy().astype(np.int64)
+        order = np.argsort(lk)
+        lk, pay = lk[order], look["w_a"].to_numpy()[order]
+        pairs_arr = np.unique(np.stack(
+            [data["key"].to_numpy().astype(np.int64),
+             data["doc_id_b"].to_numpy().astype(np.int64)], axis=1),
+            axis=0)
+        idx = np.searchsorted(lk, pairs_arr[:, 0])
+        return pd.DataFrame({"doc_id_a": pairs_arr[:, 0],
+                             "doc_id_b": pairs_arr[:, 1],
+                             "w_a": pay[idx]})
+
+    withA = cand.map_batches(tag_pairs_a, batch_format="pandas") \
+        .union(wt.map_batches(tag_w_a, batch_format="pandas")) \
+        .groupby("_part").map_groups(attach_a_kernel,
+                                     batch_format="pandas")
+
+    def tag_pairs_b(df: pd.DataFrame) -> pd.DataFrame:
+        kv = df["doc_id_b"].to_numpy().astype(np.int64)
+        return pd.DataFrame({
+            "key": kv,
+            "doc_id_a": df["doc_id_a"].to_numpy().astype(np.int64),
+            "w_a": df["w_a"].to_numpy(),
+            "w": np.full(len(df), b"", dtype=object),
+            "_tag": np.int8(0), "_part": _part_of(kv, num_parts)})
+
+    def tag_w_b(df: pd.DataFrame) -> pd.DataFrame:
+        kv = df["vec_id"].to_numpy().astype(np.int64)
+        return pd.DataFrame({
+            "key": kv,
+            "doc_id_a": np.zeros(len(df), dtype=np.int64),
+            "w_a": np.full(len(df), b"", dtype=object),
+            "w": df["w"].to_numpy(),
+            "_tag": np.int8(1), "_part": _part_of(kv, num_parts)})
+
+    def verify_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        tags = g["_tag"].to_numpy()
+        data = g[tags == 0]
+        if len(data) == 0:
+            return _EMPTY_PAIRS.copy()
+        look = g[tags == 1]
+        lk = look["key"].to_numpy().astype(np.int64)
+        order = np.argsort(lk)
+        lk, pay = lk[order], look["w"].to_numpy()[order]
+        kb = data["key"].to_numpy().astype(np.int64)
+        ka = data["doc_id_a"].to_numpy().astype(np.int64)
+        wa_col = data["w_a"].to_numpy()
+        idx = np.searchsorted(lk, kb)
+        ok = np.zeros(len(data), dtype=bool)
+        for i in range(len(data)):
+            wa = np.frombuffer(wa_col[i], dtype=np.int64)
+            wb = np.frombuffer(pay[idx[i]], dtype=np.int64)
+            ok[i] = int(wa @ wb) >= t_int
+        return pd.DataFrame({"doc_id_a": ka[ok], "doc_id_b": kb[ok]})
+
+    pairs = withA.map_batches(tag_pairs_b, batch_format="pandas") \
+        .union(wt.map_batches(tag_w_b, batch_format="pandas")) \
+        .groupby("_part").map_groups(verify_kernel,
+                                     batch_format="pandas")
     return _sorted_pairs_df(pairs).rename(
         columns={"doc_id_a": "vec_id_a", "doc_id_b": "vec_id_b"})
 
