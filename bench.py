@@ -528,6 +528,55 @@ def run_minhash() -> dict:
             "sf": SF_DIR, "num_cpus": NUM_CPUS}
 
 
+def run_multimodal() -> dict:
+    """Multimodal actor-pool stage throughput (input_hint path): mixed
+    PNG/JPEG decode, JPEG verify (PSNR invariant), WAV feature
+    extraction, HECV frame sampling — rows/s per stage, pure-Python
+    codecs."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    from hecatoncheir_ray.sources.audio import AudioFeatures, \
+        ray_audio_table
+    from hecatoncheir_ray.sources.images import (DecodeImages,
+                                                 make_verify_fn,
+                                                 ray_image_table)
+    from hecatoncheir_ray.sources.video import (SampleVideoFrames,
+                                                ray_video_table)
+
+    stages = {}
+
+    def timed(name, build):
+        t0 = time.time()
+        n = build().count()
+        dt = time.time() - t0
+        stages[name] = {"rows": n, "sec": round(dt, 3),
+                        "rows_per_sec": round(n / dt, 1)}
+
+    n_img, n_aud, n_vid = 2000, 1200, 400
+    imgs = ray_image_table(n_img, seed=42, fmt="mixed").materialize()
+    timed("image_decode_mixed", lambda: imgs.map_batches(
+        DecodeImages, concurrency=(2, 8), batch_size=64,
+        batch_format="pyarrow"))
+    jpg = ray_image_table(n_img // 2, seed=42, fmt="jpeg").materialize()
+    timed("jpeg_verify_psnr", lambda: jpg.map_batches(
+        make_verify_fn(42), batch_format="pyarrow", batch_size=64))
+    aud = ray_audio_table(n_aud, seed=42).materialize()
+    timed("audio_features_wav", lambda: aud.map_batches(
+        AudioFeatures, concurrency=(2, 8), batch_format="pyarrow",
+        batch_size=128))
+    vid = ray_video_table(n_vid, seed=42).materialize()
+    timed("video_frame_sample_hecv", lambda: vid.map_batches(
+        SampleVideoFrames, concurrency=(2, 8), batch_format="pyarrow",
+        batch_size=64))
+    ray.shutdown()
+    return {"metric": "multimodal_stage_throughput", "stages": stages,
+            "num_cpus": NUM_CPUS}
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
@@ -543,5 +592,7 @@ if __name__ == "__main__":
         print(json.dumps(run_quantiles()))
     elif "--minhash" in sys.argv:
         print(json.dumps(run_minhash()))
+    elif "--multimodal" in sys.argv:
+        print(json.dumps(run_multimodal()))
     else:
         print(json.dumps(run_bench()))
