@@ -139,10 +139,15 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 def exact_dedup_groups(docs: Dataset) -> Dataset:
     """-> (h, keep_id, dup_count): md5 content groups, min doc_id kept.
 
+    Group cardinality ~= corpus size (every distinct document is a
+    group), so the reduce is a hash-partitioned pandas groupby
+    (idjoin.hash_group_reduce) — Ray's sort-based aggregate pays
+    ~0.3 ms/group, which at corpus cardinality is the whole job.
+
     SQL twin: SELECT md5(text) h, MIN(doc_id) keep_id, COUNT(*) dup_count
     FROM documents GROUP BY 1."""
     import hashlib as _h
-    from ray.data.aggregate import Count, Min
+    from .idjoin import hash_group_reduce
 
     def add_hash(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -150,9 +155,9 @@ def exact_dedup_groups(docs: Dataset) -> Dataset:
                 lambda s: _h.md5(s.encode()).hexdigest()),
             "doc_id": df["doc_id"].astype(np.int64)})
 
-    return docs.map_batches(add_hash, batch_format="pandas") \
-        .groupby("h").aggregate(Min("doc_id", alias_name="keep_id"),
-                                Count(alias_name="dup_count"))
+    return hash_group_reduce(
+        docs.map_batches(add_hash, batch_format="pandas"), ["h"],
+        {"keep_id": ("doc_id", "min"), "dup_count": ("doc_id", "count")})
 
 
 EXACT_DEDUP_SQL = ("SELECT md5(text) AS h, MIN(doc_id) AS keep_id, "
@@ -249,13 +254,17 @@ def ngram_jaccard_pairs(docs: Dataset, threshold_num: int = 3,
         keep = threshold_den * inter >= threshold_num * (na + nb - inter)
         return pd.DataFrame({"doc_id_a": a[keep], "doc_id_b": b[keep]})
 
-    from ray.data.aggregate import Count, Min
-    return txt.map_batches(gram_rows, batch_format="pandas") \
-        .groupby("gpart").map_groups(pairs_in_part, batch_format="pandas") \
-        .groupby(["doc_id_a", "doc_id_b"]) \
-        .aggregate(Count(alias_name="inter"),
-                   Min("na", alias_name="na"), Min("nb", alias_name="nb")) \
-        .map_batches(verify_batch, batch_format="pandas")
+    from .idjoin import hash_group_reduce
+    reduced = hash_group_reduce(
+        txt.map_batches(gram_rows, batch_format="pandas")
+        .groupby("gpart").map_groups(pairs_in_part,
+                                     batch_format="pandas"),
+        ["doc_id_a", "doc_id_b"],
+        # na/nb are functions of their doc id — identical on every row
+        # of a pair; "min" just picks the value
+        {"inter": ("doc_id_a", "count"), "na": ("na", "min"),
+         "nb": ("nb", "min")})
+    return reduced.map_batches(verify_batch, batch_format="pandas")
 
 
 def ngram_jaccard_sql(threshold_num: int = 3, threshold_den: int = 5,
@@ -1070,10 +1079,10 @@ def near_dup_clusters(docs: Dataset, pairs) -> Dataset:
     ``pairs`` is any near-dup pair table — a Dataset or pandas frame with
     (doc_id_a, doc_id_b) — e.g. the output of minhash_near_dups.  The
     star edges from connected_components are unioned with identity rows
-    and reduced by a single Min groupby; nothing corpus-sized lands on
-    the driver."""
+    and reduced by a single Min groupby (hash-partitioned pandas reduce:
+    the group key is EVERY doc_id, i.e. corpus cardinality); nothing
+    corpus-sized lands on the driver."""
     import ray.data
-    from ray.data.aggregate import Min
 
     if isinstance(pairs, pd.DataFrame):
         edges_in = ray.data.from_pandas(
@@ -1093,10 +1102,12 @@ def near_dup_clusters(docs: Dataset, pairs) -> Dataset:
         i = df["doc_id"].to_numpy().astype(np.int64)
         return pd.DataFrame({"u": i, "v": i})
 
-    return docs.select_columns(["doc_id"]) \
-        .map_batches(ident, batch_format="pandas") \
-        .union(stars) \
-        .groupby("u").aggregate(Min("v", alias_name="cluster_id")) \
+    from .idjoin import hash_group_reduce
+    return hash_group_reduce(
+        docs.select_columns(["doc_id"])
+        .map_batches(ident, batch_format="pandas")
+        .union(stars),
+        ["u"], {"cluster_id": ("v", "min")}) \
         .map_batches(lambda df: df.rename(columns={"u": "doc_id"}),
                      batch_format="pandas")
 

@@ -157,3 +157,49 @@ def attach_bytes_by_id(rows: Dataset, key: str, lookup: Dataset,
                .map_batches(tag_lookup, batch_format="pandas"))
     return tagged.groupby("_part").map_groups(kernel,
                                               batch_format="pandas")
+
+
+_OPS = {"sum", "min", "max", "count", "first"}
+
+
+def hash_group_reduce(ds: Dataset, keys: list, agg: dict,
+                      num_parts: int = 256) -> Dataset:
+    """High-cardinality groupby-reduce: ONE hash shuffle on the key
+    tuple, then a PANDAS groupby per partition (C-vectorized).
+
+    Ray's sort-based ``Dataset.groupby().aggregate()`` pays ~0.3 ms of
+    coordination PER GROUP (measured on this box: 432k int-key groups =
+    129 s at 32 CPUs), which makes corpus-cardinality aggregates
+    (content-hash dedup groups, candidate pairs, histogram buckets)
+    coordination-bound no matter how cheap the reduction is.  Here the
+    per-group cost is pandas hash-aggregation (~us/group); the shuffle
+    is the same one sort-based grouping pays.
+
+    ``agg``: {out_col: (in_col, op)} with op in sum/min/max/count/first.
+    Output columns: keys + agg outputs; one row per distinct key tuple.
+    """
+    for out_col, (in_col, op) in agg.items():
+        if op not in _OPS:
+            raise ValueError(f"unsupported op {op!r}")
+    in_cols = list(dict.fromkeys(
+        list(keys) + [c for c, (i, o) in agg.items() if o != "count"
+                      for c in [i]]))
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[in_cols].copy()
+        out["_part"] = (pd.util.hash_pandas_object(df[list(keys)],
+                                                   index=False)
+                        .to_numpy().astype(np.int64)
+                        % num_parts)
+        return out
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        named = {out: (in_col if op != "count" else list(keys)[0],
+                       "size" if op == "count" else op)
+                 for out, (in_col, op) in agg.items()}
+        red = g.groupby(list(keys), as_index=False, sort=False) \
+            .agg(**named)
+        return red
+
+    return ds.map_batches(tag, batch_format="pandas") \
+        .groupby("_part").map_groups(kernel, batch_format="pandas")

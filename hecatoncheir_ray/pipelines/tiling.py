@@ -63,9 +63,12 @@ def tile_counts(assignments: Dataset, grid: GridSpec):
     Per-batch SPARSE (tile, count) partials + one shuffle-side groupby
     Sum — partial size tracks the batch's distinct tiles (not ppd^2
     dense), and the driver only ever sees the non-empty result rows, so
-    the same code holds at ppd 32 and ppd 4096."""
+    the same code holds at ppd 32 and ppd 4096.  The Sum merge is a
+    hash-partitioned pandas reduce: tile cardinality reaches ppd^2 and
+    Ray's sort-based aggregate pays ~0.3 ms coordination per group."""
     import pandas as pd
-    from ray.data.aggregate import Sum
+
+    from ..functions.idjoin import hash_group_reduce
 
     def partial(t: pa.Table) -> pa.Table:
         c = t["tile_id"].to_numpy(zero_copy_only=False)
@@ -73,8 +76,9 @@ def tile_counts(assignments: Dataset, grid: GridSpec):
         return pa.table({"tile_id": pa.array(uc, type=pa.int64()),
                          "n": pa.array(cnt.astype(np.int64))})
 
-    out = assignments.map_batches(partial, batch_format="pyarrow") \
-        .groupby("tile_id").aggregate(Sum("n", alias_name="n")).to_pandas()
+    out = hash_group_reduce(
+        assignments.map_batches(partial, batch_format="pyarrow"),
+        ["tile_id"], {"n": ("n", "sum")}, num_parts=64).to_pandas()
     out["tile_id"] = out["tile_id"].astype(np.int64)
     out["n"] = out["n"].astype(np.int64)
     return out.sort_values("tile_id").reset_index(drop=True)
@@ -129,8 +133,9 @@ def pyramid_counts(points: Dataset, bounds, max_zoom: int) -> Dataset:
     One pass: each batch computes max-zoom quadkeys, collapses them to
     per-batch (qk, count) partials, derives every coarser level by
     ``qk >> 2`` (integers only), and a single shuffle-side groupby-Sum
-    merges partials — the driver never sees per-point rows."""
-    from ray.data.aggregate import Sum
+    (hash-partitioned pandas reduce — up to 4^max_zoom groups) merges
+    partials — the driver never sees per-point rows."""
+    from ..functions.idjoin import hash_group_reduce
 
     def partial(t: pa.Table) -> pa.Table:
         qk = quadkey(t["minx"].to_numpy(zero_copy_only=False),
@@ -150,8 +155,9 @@ def pyramid_counts(points: Dataset, bounds, max_zoom: int) -> Dataset:
                          "qk": pa.array(np.concatenate(qs)),
                          "n": pa.array(np.concatenate(ns))})
 
-    return points.map_batches(partial, batch_format="pyarrow") \
-        .groupby(["zoom", "qk"]).aggregate(Sum("n", alias_name="n"))
+    return hash_group_reduce(
+        points.map_batches(partial, batch_format="pyarrow"),
+        ["zoom", "qk"], {"n": ("n", "sum")}, num_parts=64)
 
 
 def pyramid_counts_sql(x: str, y: str, from_clause: str, bounds,
