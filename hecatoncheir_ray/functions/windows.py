@@ -25,13 +25,18 @@ HOUR_US = 3_600_000_000
 
 
 def _merge_partials(parts: Dataset) -> pd.DataFrame:
-    """(window_id, event_type, n, value_milli) partials -> final sums via a
-    Ray groupby aggregate (shuffle-side, integer-exact Sum), driver-side
-    only the final (windows x types) rows."""
-    from ray.data.aggregate import Sum
-    out = parts.groupby(["window_id", "event_type"]).aggregate(
-        Sum("n", alias_name="n"),
-        Sum("value_milli", alias_name="value_milli")).to_pandas()
+    """(window_id, event_type, n, value_milli) partials -> final sums,
+    shuffle-side and integer-exact (sums of int64 partials are
+    order-independent); driver-side only the final (windows x types)
+    rows.  The merge is a hash-partitioned pandas reduce
+    (idjoin.hash_group_reduce): window cardinality grows with the
+    stream's timespan, past where Ray's sort-based aggregate's
+    per-group coordination cost dominates."""
+    from .idjoin import hash_group_reduce
+    out = hash_group_reduce(
+        parts, ["window_id", "event_type"],
+        {"n": ("n", "sum"), "value_milli": ("value_milli", "sum")},
+        num_parts=64).to_pandas()
     for c in ("window_id", "n", "value_milli"):
         out[c] = out[c].astype(np.int64)
     return out.sort_values(["window_id", "event_type"]) \
