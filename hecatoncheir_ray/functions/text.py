@@ -240,11 +240,15 @@ def ray_top_tokens(docs, k: int = 20):
     """Top-k corpus tokens by count (whitespace split, single-space
     semantics for SQL parity; empty tokens from runs of spaces excluded).
 
-    Scale shape: per-batch token-count partials (one small table per
-    batch) -> ONE groupby(token) sum -> sort + limit on the tiny result.
+    Scale shape: per-batch token-count partials -> ONE hash-partitioned
+    pandas groupby-sum (vocabulary cardinality — far past Ray's
+    sort-aggregate per-group cost) -> per-partition top-k (sound: every
+    token is fully reduced inside one partition) -> the driver merges
+    only partitions x k rows, never the vocabulary.
     Deterministic order: count desc, token asc."""
     import pandas as pd
-    from ray.data.aggregate import Sum
+
+    from .idjoin import hash_group_reduce
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         toks = df["text"].fillna("").str.split(" ").explode()
@@ -253,10 +257,16 @@ def ray_top_tokens(docs, k: int = 20):
         return pd.DataFrame({"token": c.index.astype(str),
                              "n": c.to_numpy().astype("int64")})
 
-    agg = docs.select_columns(["text"]) \
-        .map_batches(partial, batch_format="pandas") \
-        .groupby("token").aggregate(Sum("n", alias_name="n"))
-    out = agg.to_pandas()
+    agg = hash_group_reduce(
+        docs.select_columns(["text"])
+        .map_batches(partial, batch_format="pandas"),
+        ["token"], {"n": ("n", "sum")}, num_parts=64)
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["n", "token"],
+                              ascending=[False, True]).head(k)
+
+    out = agg.map_batches(local_topk, batch_format="pandas").to_pandas()
     out["n"] = out["n"].astype("int64")
     out = out.sort_values(["n", "token"],
                           ascending=[False, True]).head(k)
