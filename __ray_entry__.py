@@ -96,8 +96,9 @@ def entry() -> Any:
 
     payload = imgs.map_batches(key, batch_format="pyarrow",
                                batch_size=256)
-    return pairs.join(payload, join_type="inner", num_partitions=8,
-                      on=("r_id",))
+    from hecatoncheir_ray.pipelines.spatial_join import attach_payload
+    return attach_payload(pairs, payload, "r_id", "r_id",
+                          ["image_id", "caption"])
 
 
 # ---------------------------------------------------------------------------

@@ -9,19 +9,22 @@ by histogram range-count refinement instead of sorting:
 - one aggregate pass gets (n, min, max);
 - then O(log_B(range)) streaming passes: each pass histograms the
   active [lo, hi] key interval of every still-open quantile into
-  B = 2^16 buckets (a vectorized bincount per batch, emitted as SPARSE
-  (j, bucket, n) rows and reduced by a shuffle-side ``Sum`` — the
-  driver sees only the merged histogram, O(open_quantiles * B) rows
-  regardless of block count), then descends into the bucket containing
-  the target rank.  Doubles close in <= 4 passes, narrow int columns
-  in 1-2.
+  B = 2^16 buckets — one vectorized bincount per ~4M-row coalesced
+  batch, emitted as a DENSE int64 array per (task, open quantile) and
+  vector-added in a two-level reduce (<= 16 shuffle partitions, then
+  the driver sums 16 x open_quantiles arrays) — then descends into the
+  bucket containing the target rank.  Doubles close in <= 4 passes,
+  narrow int columns in 1-2.
 
 At 100 TB this is the right shape: a global ``Dataset.sort`` is an
 all-to-all shuffle of the full column with spill, while each refinement
-pass here is a column-pruned scan whose only exchange is the sparse
-partial-histogram reduce (<= B rows per open quantile per block, far
-fewer in practice) — and passes over ALL requested quantiles share one
-scan.
+pass here is a column-pruned scan whose only exchange is
+tasks x open_quantiles dense 512 KB arrays; driver state is independent
+of block count, and passes over ALL requested quantiles share one scan.
+(Design history: per-block driver take_all was the round-3 flaw —
+O(blocks) driver bytes; a SPARSE (j, bucket, n) row reduce degenerates
+to blocks x B rows on dense data and pays Ray's per-group aggregate
+coordination — the dense two-level vector-add is the shape that holds.)
 
 The key kind (int vs float) is resolved ONCE from the Dataset schema,
 not per block: an integer parquet column with nulls materializes as
@@ -63,10 +66,14 @@ def _key_to_value(key: int, kind: str):
 
 def _kind_of(ds: Dataset, col: str) -> str:
     """'int' or 'float' from the DATASET schema (authoritative; per-block
-    pandas dtypes are not — see module docstring)."""
+    pandas dtypes are not — see module docstring).  Ray schemas hold
+    pa.DataType for Arrow blocks but numpy dtypes for pandas-born
+    datasets; handle both."""
     sch = ds.schema()
     t = sch.types[sch.names.index(col)]
-    return "int" if pa.types.is_integer(t) else "float"
+    if isinstance(t, pa.DataType):
+        return "int" if pa.types.is_integer(t) else "float"
+    return "int" if np.issubdtype(np.dtype(t), np.integer) else "float"
 
 
 def _clean(v: np.ndarray, kind: str) -> np.ndarray:
@@ -83,50 +90,68 @@ def _clean(v: np.ndarray, kind: str) -> np.ndarray:
     return v
 
 
+_P_HIST = 16
+# coalesce input blocks into large per-task batches for the histogram
+# scans: partial count (and the reduce's traffic) shrinks by the same
+# factor; 4M keys ~ 32 MB per task heap
+_HIST_BATCH = 4_000_000
+
 _EMPTY_HIST = pd.DataFrame({"j": pd.Series([], dtype=np.int64),
-                            "b": pd.Series([], dtype=np.int64),
-                            "n": pd.Series([], dtype=np.int64)})
+                            "h": pd.Series([], dtype=object),
+                            "part": pd.Series([], dtype=np.int64)})
 
 
-def _sparse_hist_rows(k: np.ndarray, los, his, shifts) -> pd.DataFrame:
-    """Batch keys -> sparse (j, b, n) rows over every active interval j."""
-    js, bs, ns = [], [], []
+def _hist_rows(k: np.ndarray, los, his, shifts, nb) -> pd.DataFrame:
+    """Batch keys -> ONE dense-int64-histogram row per active interval j
+    (counts serialized as bytes; a content-derived part spreads the
+    partials over the reduce partitions)."""
+    import zlib
+    js, hs, ps = [], [], []
     for j in range(len(los)):
         m = (k >= los[j]) & (k <= his[j])
         if not m.any():
-            continue
+            continue                # no zero-buffer rows for idle blocks
         # modular uint64 subtraction: diffs land in [0, span), wrap-free
         # even when [lo, hi] straddles zero
         lo_bits = np.uint64(los[j] & 0xFFFFFFFFFFFFFFFF)
         with np.errstate(over="ignore"):
             b = ((k[m].view(np.uint64) - lo_bits)
                  >> np.uint64(shifts[j])).astype(np.int64)
-        cnt = np.bincount(b)
-        nz = np.nonzero(cnt)[0]
-        js.append(np.full(len(nz), j, dtype=np.int64))
-        bs.append(nz.astype(np.int64))
-        ns.append(cnt[nz].astype(np.int64))
+        buf = np.bincount(b, minlength=nb[j]).astype(np.int64).tobytes()
+        js.append(j)
+        hs.append(buf)
+        ps.append((zlib.crc32(buf) ^ j) % _P_HIST)
     if not js:
         return _EMPTY_HIST.copy()
-    return pd.DataFrame({"j": np.concatenate(js), "b": np.concatenate(bs),
-                         "n": np.concatenate(ns)})
+    return pd.DataFrame({"j": np.asarray(js, dtype=np.int64),
+                         "h": np.asarray(hs, dtype=object),
+                         "part": np.asarray(ps, dtype=np.int64)})
 
 
 def _reduce_hist(part_rows: Dataset, nb: list[int]) -> list[np.ndarray]:
-    """Shuffle-side Sum merge of sparse partials -> dense per-interval
-    count arrays.  Driver state is the MERGED histogram: O(sum(nb))
-    independent of block count.  The merge is a hash-partitioned pandas
-    reduce (functions/idjoin.hash_group_reduce): up to
-    open_quantiles x 2^16 distinct (j, bucket) groups per pass, far past
-    where Ray's sort-based aggregate's ~0.3 ms/group coordination cost
-    dominates."""
-    from .idjoin import hash_group_reduce
+    """Two-level DENSE-array reduce of per-block histogram partials:
+    each of <= _P_HIST shuffle partitions vector-adds its blocks'
+    arrays (C-speed int64 addition — a sparse row-level groupby
+    degenerates to blocks x buckets rows on dense data, and a driver
+    take_all of every block's partial is the round-3 flaw); the driver
+    then sums only _P_HIST x open_quantiles arrays, independent of
+    block count."""
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        out_j, out_h = [], []
+        for j, sub in g.groupby("j", sort=False):
+            s = np.zeros(nb[int(j)], dtype=np.int64)
+            for x in sub["h"]:
+                s += np.frombuffer(x, dtype=np.int64)
+            out_j.append(int(j))
+            out_h.append(s.tobytes())
+        return pd.DataFrame({"j": np.asarray(out_j, dtype=np.int64),
+                             "h": np.asarray(out_h, dtype=object)})
+
     agg = [np.zeros(nb[j], dtype=np.int64) for j in range(len(nb))]
-    merged = hash_group_reduce(part_rows, ["j", "b"],
-                               {"n": ("n", "sum")}, num_parts=64) \
-        .take_all()
-    for r in merged:
-        agg[int(r["j"])][int(r["b"])] = int(r["n"])
+    for r in part_rows.groupby("part").map_groups(
+            kernel, batch_format="pandas").take_all():
+        agg[int(r["j"])] += np.frombuffer(r["h"], dtype=np.int64)
     return agg
 
 
@@ -165,13 +190,14 @@ def exact_quantiles(ds: Dataset, col: str,
                   for sp in spans]
         nb = [((sp - 1) >> sh) + 1 for sp, sh in zip(spans, shifts)]
 
-        def hist(df: pd.DataFrame, los=los, his=his,
-                 shifts=shifts) -> pd.DataFrame:
+        def hist(df: pd.DataFrame, los=los, his=his, shifts=shifts,
+                 nb=nb) -> pd.DataFrame:
             k = _keys_of(_clean(df[col].to_numpy(), kind))
-            return _sparse_hist_rows(k, los, his, shifts)
+            return _hist_rows(k, los, his, shifts, nb)
 
         agg = _reduce_hist(
-            sel.map_batches(hist, batch_format="pandas"), nb)
+            sel.map_batches(hist, batch_format="pandas",
+                            batch_size=_HIST_BATCH), nb)
         for j, i in enumerate(act):
             s = st[i]
             need = s["k"] - s["below"]
@@ -232,7 +258,7 @@ def exact_group_quantiles(ds: Dataset, col: str, by: str,
         nb = [((h - l) >> sh) + 1 for l, h, sh in zip(los, his, shifts)]
 
         def hist(df: pd.DataFrame, gvals=gvals, los=los, his=his,
-                 shifts=shifts) -> pd.DataFrame:
+                 shifts=shifts, nb=nb) -> pd.DataFrame:
             v = df[col].to_numpy()
             g = df[by].to_numpy()
             ok = ~pd.isna(v)
@@ -242,17 +268,18 @@ def exact_group_quantiles(ds: Dataset, col: str, by: str,
             out = []
             for j in range(len(los)):
                 mg = g == gvals[j]
-                part = _sparse_hist_rows(k[mg], [los[j]], [his[j]],
-                                         [shifts[j]])
+                part = _hist_rows(k[mg], [los[j]], [his[j]],
+                                  [shifts[j]], [nb[j]])
                 if len(part):
                     part["j"] = np.int64(j)
                     out.append(part)
             if not out:
                 return _EMPTY_HIST.copy()
-            return pd.concat(out, ignore_index=True)[["j", "b", "n"]]
+            return pd.concat(out, ignore_index=True)[["j", "h", "part"]]
 
         agg = _reduce_hist(
-            sel.map_batches(hist, batch_format="pandas"), nb)
+            sel.map_batches(hist, batch_format="pandas",
+                            batch_size=_HIST_BATCH), nb)
         for j, s in enumerate(act):
             need = s["k"] - s["below"]
             cum = np.cumsum(agg[j])

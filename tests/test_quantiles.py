@@ -139,3 +139,18 @@ def test_all_null_raises(ray_session):
     df = pd.DataFrame({"x": np.array([np.nan, np.nan])})
     with pytest.raises(ValueError):
         exact_quantiles(rd.from_pandas(df), "x", [0.5])
+
+
+def test_pandas_born_dataset_kind(ray_session):
+    # pandas-born datasets expose numpy dtypes (not Arrow types) in the
+    # Ray schema; _kind_of must handle both (regression: bench --quantiles)
+    rng = np.random.default_rng(3)
+    dfi = pd.DataFrame({"x": rng.integers(0, 1000, 500)})
+    dff = pd.DataFrame({"x": rng.normal(size=500)})
+    for df in (dfi, dff):
+        got = exact_quantiles(rd.from_pandas(df).repartition(3), "x",
+                              [0.5])
+        con = duckdb.connect()
+        con.register("t", df)
+        exp = con.execute(exact_quantiles_sql("t", "x", [0.5])).df()
+        assert float(got["value"].iloc[0]) == float(exp["value"].iloc[0])
