@@ -83,3 +83,16 @@ def test_entry_smoke(ray_session, entrymod):
     assert {"r_id", "s_id", "image_id", "caption"} <= set(df.columns)
     # payload re-attach consistent: image_id matches the joined row index
     assert (df["image_id"] == df["r_id"].map(lambda i: f"img{i:08d}")).all()
+
+
+def test_query_priority_ordering(entrymod):
+    """The driver records at most the FIRST ~50 registered queries
+    (round 3 recorded exactly 50 of 52, silently dropping the tail):
+    multimodal rows-only queries must sit well inside the first 50, and
+    only designated thin wrappers may occupy the tail slots."""
+    names = list(entrymod.queries())
+    for q in ("image_verify", "image_verify_jpeg", "audio_features",
+              "video_frame_sample"):
+        assert names.index(q) < 50, q
+    assert set(names[50:]) <= {"doc_sample", "doc_lang_hist",
+                               "box_join_count"}
