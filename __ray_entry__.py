@@ -377,6 +377,40 @@ def _q_audio_features(sf_dir: str):
                           batch_format="pyarrow", batch_size=128)
 
 
+def _q_audio_codec_verify(sf_dir: str):
+    """Mixed-codec audio table (wav / G.711 mu-law / IMA ADPCM per-row
+    hash choice) through the fmt-aware verify stage (rows-only: codec
+    decode is not SQL-expressible).  The invariant is hard: any payload
+    that is not the exact deterministic encoding of its source, or any
+    lossy row under its codec's PSNR floor (ulaw >= 40 dB per the
+    input_hint, adpcm >= 20 dB measured), raises."""
+    from hecatoncheir_ray.sources.audio import (make_audio_verify_fn,
+                                                ray_audio_table)
+    ds = ray_audio_table(300, seed=42, fmts="mixed").map_batches(
+        make_audio_verify_fn(42), batch_format="pyarrow", batch_size=128)
+    bad = ds.filter(lambda r: not (r["pcm_ok"] and r["caption_ok"]))
+    if bad.count() > 0:
+        raise AssertionError("audio codec verify invariant violated")
+    return ds
+
+
+def _q_video_codec_verify(sf_dir: str):
+    """Mixed-codec video table (PNG-frame hecv / JPEG-frame hecvj
+    per-row hash choice) through the codec-aware verify stage (rows-only:
+    frame codecs are not SQL-expressible).  Hard invariant: every sampled
+    frame must bit-equal the deterministic reference encoding of its
+    source, and JPEG frames must clear the input_hint's lossy PSNR >= 40
+    dB bar."""
+    from hecatoncheir_ray.sources.video import (make_video_verify_fn,
+                                                ray_video_table)
+    ds = ray_video_table(150, seed=42, fmts="mixed").map_batches(
+        make_video_verify_fn(42), batch_format="pyarrow", batch_size=64)
+    bad = ds.filter(lambda r: not (r["frames_ok"] and r["caption_ok"]))
+    if bad.count() > 0:
+        raise AssertionError("video codec verify invariant violated")
+    return ds
+
+
 def _q_video_frame_sample(sf_dir: str):
     """Video table (real HECV container: seekable index + PNG frames) ->
     sampled-frame rows via an actor-pool stage (rows-only: frame synthesis
@@ -730,6 +764,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample": _q_doc_sample,
         "doc_lang_hist": _q_doc_lang_hist,
         "box_join_count": _q_box_join_count,
+        # rows-only like image_verify; their hard signal is the in-query
+        # assertion + tests/test_audio.py / test_video.py, so the tail
+        # slots are safe
+        "audio_codec_verify": _q_audio_codec_verify,
+        "video_codec_verify": _q_video_codec_verify,
     }
 
 

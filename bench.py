@@ -564,12 +564,12 @@ def run_multimodal() -> dict:
     jpg = ray_image_table(n_img // 2, seed=42, fmt="jpeg").materialize()
     timed("jpeg_verify_psnr", lambda: jpg.map_batches(
         make_verify_fn(42), batch_format="pyarrow", batch_size=64))
-    aud = ray_audio_table(n_aud, seed=42).materialize()
-    timed("audio_features_wav", lambda: aud.map_batches(
+    aud = ray_audio_table(n_aud, seed=42, fmts="mixed").materialize()
+    timed("audio_features_mixed_codec", lambda: aud.map_batches(
         AudioFeatures, concurrency=(2, 8), batch_format="pyarrow",
         batch_size=128))
-    vid = ray_video_table(n_vid, seed=42).materialize()
-    timed("video_frame_sample_hecv", lambda: vid.map_batches(
+    vid = ray_video_table(n_vid, seed=42, fmts="mixed").materialize()
+    timed("video_frame_sample_mixed_codec", lambda: vid.map_batches(
         SampleVideoFrames, concurrency=(2, 8), batch_format="pyarrow",
         batch_size=64))
     ray.shutdown()

@@ -95,4 +95,5 @@ def test_query_priority_ordering(entrymod):
               "video_frame_sample"):
         assert names.index(q) < 50, q
     assert set(names[50:]) <= {"doc_sample", "doc_lang_hist",
-                               "box_join_count"}
+                               "box_join_count", "audio_codec_verify",
+                               "video_codec_verify"}
