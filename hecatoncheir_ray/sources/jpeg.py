@@ -128,36 +128,130 @@ def _huff_codes(bits, vals):
     return out
 
 
-class _BitWriter:
-    def __init__(self):
-        self.out = bytearray()
-        self.acc = 0
-        self.nbits = 0
-
-    def write(self, code: int, length: int):
-        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
-        self.nbits += length
-        while self.nbits >= 8:
-            byte = (self.acc >> (self.nbits - 8)) & 0xFF
-            self.out.append(byte)
-            if byte == 0xFF:            # byte stuffing
-                self.out.append(0x00)
-            self.nbits -= 8
-        self.acc &= (1 << self.nbits) - 1
-
-    def flush(self):
-        if self.nbits:
-            pad = 8 - self.nbits
-            self.write((1 << pad) - 1, pad)
+def _huff_code_arrays(bits, vals, n: int):
+    """Canonical spec -> (code[n], len[n]) arrays for vectorized
+    symbol-to-code lookup (np.take instead of a dict per symbol)."""
+    d = _huff_codes(bits, vals)
+    code = np.zeros(n, dtype=np.int64)
+    ln = np.zeros(n, dtype=np.int64)
+    for k, (cd, l) in d.items():
+        code[k] = cd
+        ln[k] = l
+    return code, ln
 
 
-def _magnitude(v: int):
-    """(category size, code bits) for a DC diff / AC value."""
-    if v == 0:
-        return 0, 0
-    size = int(abs(v)).bit_length()
-    bits = v if v >= 0 else v + (1 << size) - 1
-    return size, bits
+_ENC_TABS = None
+
+
+def _enc_tables():
+    global _ENC_TABS
+    if _ENC_TABS is None:
+        _ENC_TABS = ([_huff_code_arrays(*_DC_L, 12),
+                      _huff_code_arrays(*_DC_C, 12)],
+                     [_huff_code_arrays(*_AC_L, 256),
+                      _huff_code_arrays(*_AC_C, 256)])
+    return _ENC_TABS
+
+
+def _entropy_encode(planes, nb: int) -> bytes:
+    """Interleaved MCU entropy stream for 3 full-resolution components,
+    assembled WITHOUT a per-block Python loop: magnitude categories,
+    zero-runs, ZRL repetitions, EOB flags and the block-major component
+    interleave are all computed as numpy scatters into one global
+    (code, len) element array, then bit-packed by :func:`_emit_bits`.
+    Produces bit-identical output to the symbol-at-a-time reference
+    loop (pinned by the encode-determinism tests)."""
+    dc_t, ac_t = _enc_tables()
+    tot = np.zeros((nb, 3), dtype=np.int64)     # elements per (block, c)
+    parts = []
+    for c in range(3):
+        tb = 0 if c == 0 else 1
+        Z = planes[c].reshape(nb, 64).astype(np.int64)
+        dsz, dbits = _mag_vec(np.diff(Z[:, 0], prepend=0))  # DC pred
+        rows, kcols = np.nonzero(Z[:, 1:])
+        kcols = kcols + 1
+        asz, abits = _mag_vec(Z[rows, kcols])
+        starts = np.searchsorted(rows, np.arange(nb + 1))
+        nzb = starts[:-1] < starts[1:]          # block has nonzero ACs
+        first = np.zeros(len(kcols), dtype=bool)
+        first[starts[:-1][nzb]] = True
+        prev = np.concatenate(([0], kcols[:-1])) if len(kcols) else kcols
+        runs = kcols - np.where(first, 0, prev) - 1
+        z = runs >> 4                           # ZRL count before each AC
+        rem = runs & 15
+        last = np.zeros(nb, dtype=np.int64)     # block's last nonzero k
+        last[nzb] = kcols[starts[1:][nzb] - 1] if len(kcols) else 0
+        eob = last < 63
+        dc_n = 1 + (dsz > 0)
+        acc = np.concatenate(([0], np.cumsum(z + 2)))
+        ac_blk = acc[starts[1:]] - acc[starts[:-1]]
+        tot[:, c] = dc_n + ac_blk + eob
+        parts.append((tb, dsz, dbits, rows, asz, abits, starts, z, rem,
+                      eob, dc_n, acc))
+    goff = np.concatenate(([0], np.cumsum(tot.ravel())))
+    total = int(goff[-1])
+    base2 = goff[:-1].reshape(nb, 3)
+    codes = np.zeros(total, dtype=np.int64)
+    lens = np.zeros(total, dtype=np.int64)
+    for c in range(3):
+        tb, dsz, dbits, rows, asz, abits, starts, z, rem, eob, dc_n, acc \
+            = parts[c]
+        dcode, dlen = dc_t[tb]
+        acode, alen = ac_t[tb]
+        base = base2[:, c]
+        codes[base] = dcode[dsz]                # DC Huffman symbol
+        lens[base] = dlen[dsz]
+        sel = dsz > 0
+        codes[base[sel] + 1] = dbits[sel]       # DC magnitude bits
+        lens[base[sel] + 1] = dsz[sel]
+        if len(rows):
+            ac_pos = (base + dc_n)[rows] \
+                + (acc[:-1] - acc[starts[rows]])
+            zt = int(z.sum())
+            if zt:                              # ZRL fills, rare
+                jz = np.repeat(np.arange(len(z)), z)
+                inner = np.arange(zt) \
+                    - np.repeat(np.concatenate(([0], np.cumsum(z)))[:-1],
+                                z)
+                codes[ac_pos[jz] + inner] = acode[0xF0]
+                lens[ac_pos[jz] + inner] = alen[0xF0]
+            sym = (rem << 4) | asz
+            codes[ac_pos + z] = acode[sym]      # AC Huffman symbol
+            lens[ac_pos + z] = alen[sym]
+            codes[ac_pos + z + 1] = abits       # AC magnitude bits
+            lens[ac_pos + z + 1] = asz
+        epos = (base + tot[:, c] - 1)[eob]
+        codes[epos] = acode[0x00]               # EOB
+        lens[epos] = alen[0x00]
+    return _emit_bits(codes, lens)
+
+
+def _emit_bits(codes, lens) -> bytes:
+    """(code, nbits) symbol stream -> packed, byte-stuffed entropy bytes
+    (tail padded with 1-bits per T.81).  One vectorized pass replaces a
+    per-symbol big-int bit accumulator: expand every code to its bit row,
+    mask to its length, packbits, then bytes.replace for stuffing."""
+    c = np.asarray(codes, dtype=np.int64)
+    ln = np.asarray(lens, dtype=np.int64)
+    total = int(ln.sum())
+    pad = (-total) % 8
+    if pad:
+        c = np.append(c, (1 << pad) - 1)
+        ln = np.append(ln, pad)
+    ar = np.arange(16)
+    m = ar[None, :] < ln[:, None]
+    sh = np.where(m, ln[:, None] - 1 - ar[None, :], 0)
+    bits = ((c[:, None] >> sh) & 1).astype(np.uint8)
+    return np.packbits(bits[m]).tobytes().replace(b"\xff", b"\xff\x00")
+
+
+def _mag_vec(v: np.ndarray):
+    """Vectorized magnitude coding: (category sizes, code bits) for an
+    int64 array of DC diffs / AC values (T.81 F.1.2.1: negatives code as
+    v + 2^size - 1).  frexp's exponent IS bit_length for |v| < 2^53."""
+    sz = np.frexp(np.abs(v).astype(np.float64))[1].astype(np.int64)
+    bits = np.where(v >= 0, v, v + (1 << sz) - 1)
+    return sz, bits
 
 
 def _encode_plane_blocks(plane: np.ndarray, qtab: np.ndarray) -> np.ndarray:
@@ -200,44 +294,9 @@ def jpeg_encode(pixels: np.ndarray, quality: int = 90) -> bytes:
     planes = [_encode_plane_blocks(ycc[..., c], ql if c == 0 else qc)
               for c in range(3)]
 
-    dc_tabs = [_huff_codes(*_DC_L), _huff_codes(*_DC_C)]
-    ac_tabs = [_huff_codes(*_AC_L), _huff_codes(*_AC_C)]
-    bw = _BitWriter()
-    pred = [0, 0, 0]
     nby, nbx = ph // 8, pw // 8
-    for by in range(nby):
-        for bx in range(nbx):
-            for c in range(3):
-                tb = 0 if c == 0 else 1
-                zz = planes[c][by, bx]
-                diff = int(zz[0]) - pred[c]
-                pred[c] = int(zz[0])
-                size, bits = _magnitude(diff)
-                code, ln = dc_tabs[tb][size]
-                bw.write(code, ln)
-                if size:
-                    bw.write(bits, size)
-                run = 0
-                nz = np.nonzero(zz[1:])[0]
-                last = nz[-1] + 1 if len(nz) else 0
-                for k in range(1, last + 1):
-                    v = int(zz[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = ac_tabs[tb][0xF0]      # ZRL
-                        bw.write(code, ln)
-                        run -= 16
-                    size, bits = _magnitude(v)
-                    code, ln = ac_tabs[tb][(run << 4) | size]
-                    bw.write(code, ln)
-                    bw.write(bits, size)
-                    run = 0
-                if last < 63:
-                    code, ln = ac_tabs[tb][0x00]          # EOB
-                    bw.write(code, ln)
-    bw.flush()
+    nb = nby * nbx
+    entropy = _entropy_encode(planes, nb)
 
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">HH", marker, len(payload) + 2) + payload
@@ -259,56 +318,47 @@ def jpeg_encode(pixels: np.ndarray, quality: int = 90) -> bytes:
     return (b"\xff\xd8" + app0 + dqt(0, ql) + dqt(1, qc)
             + dht(0, 0, _DC_L) + dht(1, 0, _AC_L)
             + dht(0, 1, _DC_C) + dht(1, 1, _AC_C)
-            + sof + sos + bytes(bw.out) + b"\xff\xd9")
+            + sof + sos + entropy + b"\xff\xd9")
 
 
-class _BitReader:
-    def __init__(self, data: bytes):
-        # de-stuff: 0xFF 0x00 -> 0xFF
-        self.data = data.replace(b"\xff\x00", b"\xff")
-        self.pos = 0
-        self.acc = 0
-        self.nbits = 0
-
-    def read(self, n: int) -> int:
-        while self.nbits < n:
-            b = self.data[self.pos] if self.pos < len(self.data) else 0
-            self.pos += 1
-            self.acc = (self.acc << 8) | b
-            self.nbits += 8
-        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
-        self.nbits -= n
-        self.acc &= (1 << self.nbits) - 1
-        return v
+def _bit_windows(data: bytes) -> list:
+    """De-stuffed entropy bytes -> per-byte-offset 32-bit windows, as a
+    Python int list: U[i] holds bits 8i..8i+31, so the 16 bits at any
+    bit position p are ``(U[p >> 3] >> (16 - (p & 7))) & 0xFFFF`` — one
+    list index + shift per Huffman symbol instead of a per-bit loop.
+    Zero padding past the end mirrors the old reader's 0-byte overrun."""
+    b = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+    b = np.append(b, np.zeros(8, dtype=np.int64))
+    u = (b[:-3] << 24) | (b[1:-2] << 16) | (b[2:-1] << 8) | b[3:]
+    return u.tolist()
 
 
-def _huff_decoder(bits, vals):
-    """{(length, code): value} decode map."""
-    out = {}
+_LUT_CACHE: dict = {}
+
+
+def _huff_lut(bits, vals):
+    """Canonical table spec -> (symbol, codelen) lookup over every
+    16-bit window: decode = ONE indexed load instead of a bit walk.
+    Cached by spec (Annex-K tables recur across every image)."""
+    key = (bytes(bits), bytes(vals))
+    hit = _LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    sym = np.full(65536, -1, dtype=np.int32)
+    lng = np.zeros(65536, dtype=np.int32)
     code = 0
     k = 0
     for ln in range(1, 17):
         for _ in range(bits[ln - 1]):
-            out[(ln, code)] = vals[k]
+            lo = code << (16 - ln)
+            sym[lo:lo + (1 << (16 - ln))] = vals[k]
+            lng[lo:lo + (1 << (16 - ln))] = ln
             code += 1
             k += 1
         code <<= 1
+    out = (sym.tolist(), lng.tolist())
+    _LUT_CACHE[key] = out
     return out
-
-
-def _read_huff(br: _BitReader, table) -> int:
-    code = 0
-    for ln in range(1, 17):
-        code = (code << 1) | br.read(1)
-        if (ln, code) in table:
-            return table[(ln, code)]
-    raise ValueError("bad Huffman code")
-
-
-def _extend(v: int, size: int) -> int:
-    if size == 0:
-        return 0
-    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
 def jpeg_decode(buf: bytes) -> np.ndarray:
@@ -349,7 +399,7 @@ def jpeg_decode(buf: bytes) -> np.ndarray:
                 n = sum(bits)
                 vals = list(payload[p + 17:p + 17 + n])
                 htabs[(cls_tid >> 4, cls_tid & 0x0F)] = \
-                    _huff_decoder(bits, vals)
+                    _huff_lut(bits, vals)
                 p += 17 + n
         elif marker == 0xC0:
             prec, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
@@ -374,43 +424,79 @@ def jpeg_decode(buf: bytes) -> np.ndarray:
     if data_start is None or h is None:
         raise ValueError("truncated JPEG")
     end = buf.rfind(b"\xff\xd9")
-    br = _BitReader(buf[data_start:end if end > 0 else len(buf)])
+    scan_bytes = buf[data_start:end if end > 0 else len(buf)] \
+        .replace(b"\xff\x00", b"\xff")          # de-stuff
+    u = _bit_windows(scan_bytes)
 
     ph = (h + 7) // 8 * 8
     pw = (w + 7) // 8 * 8
     nby, nbx = ph // 8, pw // 8
-    planes = np.zeros((3, ph, pw), dtype=np.float64)
+    nb = nby * nbx
     qid_of = dict(comps)
+    luts = [(htabs[(0, dc_t)], htabs[(1, ac_t)])
+            for cid, dc_t, ac_t in scan]
+    # entropy decode: Python ints + LUT loads only; coefficients land in
+    # sparse (block, zigzag-k, value) triplets, IDCT'd vectorized below
+    dcv = [[0] * nb for _ in range(3)]
+    rows: list = [[] for _ in range(3)]
+    cols: list = [[] for _ in range(3)]
+    vals: list = [[] for _ in range(3)]
     pred = [0, 0, 0]
-    for by in range(nby):
-        for bx in range(nbx):
-            for ci, (cid, dc_t, ac_t) in enumerate(scan):
-                dct = htabs[(0, dc_t)]
-                act = htabs[(1, ac_t)]
-                zz = np.zeros(64, dtype=np.float64)
-                size = _read_huff(br, dct)
-                diff = _extend(br.read(size), size) if size else 0
-                pred[ci] += diff
-                zz[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    rs = _read_huff(br, act)
-                    if rs == 0x00:          # EOB
-                        break
-                    if rs == 0xF0:          # ZRL
-                        k += 16
-                        continue
-                    k += rs >> 4
-                    size = rs & 0x0F
-                    if k > 63:
-                        raise ValueError("AC index overflow")
-                    zz[k] = _extend(br.read(size), size)
-                    k += 1
-                blk = np.zeros(64, dtype=np.float64)
-                blk[ZIGZAG] = zz            # un-zigzag to row-major
-                blk = blk.reshape(8, 8) * qtabs[qid_of[cid]].reshape(8, 8)
-                pix = _C.T @ blk @ _C + 128.0
-                planes[ci, by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = pix
+    p = 0
+    ncomp = len(scan)
+    for b in range(nb):
+        for ci in range(ncomp):
+            dsym, dlen = luts[ci][0]
+            asym, alen = luts[ci][1]
+            wd = (u[p >> 3] >> (16 - (p & 7))) & 0xFFFF
+            size = dsym[wd]
+            if size < 0:
+                raise ValueError("bad Huffman code")
+            p += dlen[wd]
+            if size:
+                v = ((u[p >> 3] >> (16 - (p & 7))) & 0xFFFF) >> (16 - size)
+                p += size
+                pred[ci] += v if v >= (1 << (size - 1)) \
+                    else v - (1 << size) + 1
+            dcv[ci][b] = pred[ci]
+            k = 1
+            while k < 64:
+                wd = (u[p >> 3] >> (16 - (p & 7))) & 0xFFFF
+                rs = asym[wd]
+                if rs < 0:
+                    raise ValueError("bad Huffman code")
+                p += alen[wd]
+                if rs == 0x00:          # EOB
+                    break
+                if rs == 0xF0:          # ZRL
+                    k += 16
+                    continue
+                k += rs >> 4
+                size = rs & 0x0F
+                if k > 63:
+                    raise ValueError("AC index overflow")
+                if size:
+                    v = ((u[p >> 3] >> (16 - (p & 7))) & 0xFFFF) \
+                        >> (16 - size)
+                    p += size
+                    rows[ci].append(b)
+                    cols[ci].append(k)
+                    vals[ci].append(v if v >= (1 << (size - 1))
+                                    else v - (1 << size) + 1)
+                k += 1
+    planes = np.zeros((3, ph, pw), dtype=np.float64)
+    for ci, (cid, dc_t, ac_t) in enumerate(scan):
+        zz = np.zeros((nb, 64), dtype=np.float64)
+        zz[:, 0] = dcv[ci]
+        if rows[ci]:
+            zz[rows[ci], cols[ci]] = vals[ci]
+        blk = np.zeros((nb, 64), dtype=np.float64)
+        blk[:, ZIGZAG] = zz                     # un-zigzag to row-major
+        blk = blk.reshape(nb, 8, 8) * qtabs[qid_of[cid]].reshape(8, 8)
+        # same per-block (C.T @ blk) @ C contraction, batched over blocks
+        pix = np.matmul(np.matmul(_C.T, blk), _C) + 128.0
+        planes[ci] = pix.reshape(nby, nbx, 8, 8) \
+            .transpose(0, 2, 1, 3).reshape(ph, pw)
     ycc = np.stack([planes[0], planes[1], planes[2]],
                    axis=-1)[:h, :w, :]
     return _ycc_to_rgb(ycc)
