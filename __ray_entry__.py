@@ -303,6 +303,23 @@ def _q_tile_counts_points(sf_dir: str):
         _tile_grid())
 
 
+_HEX_SIZE = 0.5   # degrees — ~the same cell area as the _TILE_PPD grid
+
+
+def _q_hex_assignment_points(sf_dir: str):
+    """H3-style hexagonal index (north rule): point -> axial hex cell via
+    exact cube rounding; bit-exact vs the IEEE-identical SQL twin."""
+    from hecatoncheir_ray.pipelines.hexgrid import hex_assignments
+    return hex_assignments(derive.ray_points_events(sf_dir), _HEX_SIZE)
+
+
+def _q_hex_counts_points(sf_dir: str):
+    from hecatoncheir_ray.pipelines.hexgrid import (hex_assignments,
+                                                    hex_counts)
+    return hex_counts(
+        hex_assignments(derive.ray_points_events(sf_dir), _HEX_SIZE))
+
+
 _PYRAMID_ZOOM = 8
 
 
@@ -769,6 +786,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # slots are safe
         "audio_codec_verify": _q_audio_codec_verify,
         "video_codec_verify": _q_video_codec_verify,
+        # hex index (H3 side of the north rule's "H3/S2 index"): full SQL
+        # oracles; driver-window overflow is covered by the same-compare
+        # contract test (tests/test_entry_contract.py) at sf0.001
+        "hex_assignment_points": _q_hex_assignment_points,
+        "hex_counts_points": _q_hex_counts_points,
     }
 
 
@@ -1045,6 +1067,13 @@ def oracle_sql() -> dict[str, str]:
             WITH p AS ({pts})
             SELECT {_tile_sql()} AS tile_id, COUNT(*) AS n FROM p
             GROUP BY 1""",
+        "hex_assignment_points": f"""
+            WITH p AS ({pts})
+            SELECT id, {_hex_sql()} AS hex_id FROM p""",
+        "hex_counts_points": f"""
+            WITH p AS ({pts})
+            SELECT {_hex_sql()} AS hex_id, COUNT(*) AS n FROM p
+            GROUP BY 1""",
         "tile_pyramid_counts": _pyramid_sql(),
         "tile_cover_boxes": _tile_cover_sql(),
         "image_tile_assignments": _image_tiles_sql(),
@@ -1174,6 +1203,13 @@ def _pyramid_sql() -> str:
     px, py = derive.points_sql("event_id")
     return pyramid_counts_sql(px, py, "FROM events", TIGER_US_BOUNDS,
                               _PYRAMID_ZOOM)
+
+
+def _hex_sql() -> str:
+    """point -> packed axial hex id, bit-identical to hexgrid.hex_axial
+    + hex_id (IEEE-identical op order; see hexgrid.hex_sql)."""
+    from hecatoncheir_ray.pipelines.hexgrid import hex_sql
+    return hex_sql("x", "y", _HEX_SIZE)
 
 
 def _tile_sql() -> str:

@@ -96,4 +96,8 @@ def test_query_priority_ordering(entrymod):
         assert names.index(q) < 50, q
     assert set(names[50:]) <= {"doc_sample", "doc_lang_hist",
                                "box_join_count", "audio_codec_verify",
-                               "video_codec_verify"}
+                               "video_codec_verify",
+                               # full SQL oracles; window overflow is
+                               # covered by this module's same-compare
+                               "hex_assignment_points",
+                               "hex_counts_points"}
