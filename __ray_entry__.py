@@ -364,8 +364,12 @@ def _q_image_verify_jpeg(sf_dir: str):
     a green run certifies the lossy codec path, not just row counts."""
     from hecatoncheir_ray.sources.images import (make_verify_fn,
                                                  ray_image_table)
+    # materialized: the assertion count below and the returned Dataset
+    # are two consumers — unpinned, the JPEG encode+decode would run
+    # twice (the most CPU-expensive per-row work in the query set)
     ds = ray_image_table(200, seed=42, fmt="jpeg").map_batches(
-        make_verify_fn(42), batch_format="pyarrow", batch_size=64)
+        make_verify_fn(42), batch_format="pyarrow",
+        batch_size=64).materialize()
     bad = ds.filter(lambda r: not (r["psnr_ok"] and r["caption_ok"]))
     if bad.count() > 0:
         raise AssertionError("jpeg verify invariant violated")
@@ -381,7 +385,9 @@ def _q_audio_features(sf_dir: str):
     from hecatoncheir_ray.sources.audio import (AudioFeatures,
                                                 make_audio_verify_fn,
                                                 ray_audio_table)
-    ds = ray_audio_table(400, seed=42)
+    # table pinned once: the verify ride-along and the features stage
+    # are two consumers of the synth table
+    ds = ray_audio_table(400, seed=42).materialize()
     bad = ds.map_batches(make_audio_verify_fn(42), batch_format="pyarrow",
                          batch_size=128) \
         .filter(lambda r: not (r["pcm_ok"] and r["caption_ok"]))
@@ -404,7 +410,8 @@ def _q_audio_codec_verify(sf_dir: str):
     from hecatoncheir_ray.sources.audio import (make_audio_verify_fn,
                                                 ray_audio_table)
     ds = ray_audio_table(300, seed=42, fmts="mixed").map_batches(
-        make_audio_verify_fn(42), batch_format="pyarrow", batch_size=128)
+        make_audio_verify_fn(42), batch_format="pyarrow",
+        batch_size=128).materialize()   # 2 consumers: assert + return
     bad = ds.filter(lambda r: not (r["pcm_ok"] and r["caption_ok"]))
     if bad.count() > 0:
         raise AssertionError("audio codec verify invariant violated")
@@ -421,7 +428,8 @@ def _q_video_codec_verify(sf_dir: str):
     from hecatoncheir_ray.sources.video import (make_video_verify_fn,
                                                 ray_video_table)
     ds = ray_video_table(150, seed=42, fmts="mixed").map_batches(
-        make_video_verify_fn(42), batch_format="pyarrow", batch_size=64)
+        make_video_verify_fn(42), batch_format="pyarrow",
+        batch_size=64).materialize()    # 2 consumers: assert + return
     bad = ds.filter(lambda r: not (r["frames_ok"] and r["caption_ok"]))
     if bad.count() > 0:
         raise AssertionError("video codec verify invariant violated")
@@ -437,7 +445,8 @@ def _q_video_frame_sample(sf_dir: str):
     from hecatoncheir_ray.sources.video import (SampleVideoFrames,
                                                 make_video_verify_fn,
                                                 ray_video_table)
-    ds = ray_video_table(200, seed=42)
+    # table pinned once: verify ride-along + frame sampling both read it
+    ds = ray_video_table(200, seed=42).materialize()
     bad = ds.map_batches(make_video_verify_fn(42), batch_format="pyarrow",
                          batch_size=64) \
         .filter(lambda r: not (r["frames_ok"] and r["caption_ok"]))

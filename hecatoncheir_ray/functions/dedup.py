@@ -449,7 +449,11 @@ def minhash_near_dup_pairs(docs: Dataset, threshold: float = 0.6,
         import ray.data
         return ray.data.from_pandas(_EMPTY_PAIRS.copy())
 
-    sh = shingle_table(docs, shingle_k)
+    # pinned ONCE: stages A and B both consume the shingle table, and an
+    # unmaterialized Dataset would re-run the docs scan + shingling per
+    # consumer (3 corpus passes total); pinning lets the object store
+    # spill instead — the same multi-consumer rule curation uses
+    sh = shingle_table(docs, shingle_k).materialize()
 
     # stage A: co-partition pairs + shingles on doc_id_a; the kernel
     # DEDUPS the pair set (exactly-once emission) and attaches sh_a
@@ -534,17 +538,29 @@ def minhash_near_dup_pairs(docs: Dataset, threshold: float = 0.6,
         kb = data["key"].to_numpy().astype(np.int64)
         ka = data["doc_id_a"].to_numpy().astype(np.int64)
         sa_col = data["sh_a"].to_numpy()
-        idx = np.searchsorted(lk, kb)
-        ok = np.zeros(len(data), dtype=bool)
-        for i in range(len(data)):
-            sa = np.frombuffer(sa_col[i], dtype=np.uint64)
-            sb = np.frombuffer(pay[idx[i]], dtype=np.uint64)
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            union = len(sa) + len(sb) - inter
-            # same float expression as jaccard() so thresholds round
-            # identically to the in-bucket verifier this replaced
-            jac = inter / max(union, 1) if union > 0 else 1.0
-            ok[i] = jac >= threshold
+        sb_col = pay[np.searchsorted(lk, kb)]
+        n = len(data)
+        # vectorized pairwise intersection: each blob is a UNIQUE uint64
+        # shingle set, so a value duplicated within one (pair, a+b)
+        # segment appears exactly twice = one intersection hit.  One
+        # lexsort over all elements replaces a per-pair Python loop.
+        na = (np.frompyfunc(len, 1, 1)(sa_col).astype(np.int64)) // 8
+        nb = (np.frompyfunc(len, 1, 1)(sb_col).astype(np.int64)) // 8
+        vals = np.concatenate([
+            np.frombuffer(b"".join(sa_col), dtype=np.uint64),
+            np.frombuffer(b"".join(sb_col), dtype=np.uint64)])
+        pid = np.concatenate([np.repeat(np.arange(n), na),
+                              np.repeat(np.arange(n), nb)])
+        order = np.lexsort((vals, pid))
+        pv, vv = pid[order], vals[order]
+        dup = (pv[1:] == pv[:-1]) & (vv[1:] == vv[:-1])
+        inter = np.bincount(pv[1:][dup], minlength=n).astype(np.int64)
+        union = na + nb - inter
+        # same float expression as jaccard() so thresholds round
+        # identically to the in-bucket verifier this replaced
+        jac = np.where(union > 0,
+                       inter / np.maximum(union, 1), 1.0)
+        ok = jac >= threshold
         return pd.DataFrame({"doc_id_a": ka[ok], "doc_id_b": kb[ok]})
 
     tagged = withA.map_batches(tag_pairs_b, batch_format="pandas") \
@@ -880,7 +896,9 @@ def embedding_near_dups(vecs: Dataset, threshold: float = 0.95,
             "vec_id": df["vec_id"].to_numpy().astype(np.int64),
             "w": [x.tobytes() for x in qnorm_matrix(emb)]})
 
-    wt = sel.map_batches(wrows, batch_format="pandas")
+    # pinned ONCE (two consumers: tag_w_a + tag_w_b) — same rule as the
+    # minhash shingle table above
+    wt = sel.map_batches(wrows, batch_format="pandas").materialize()
 
     # attach w_a (pairs co-partitioned with the qnorm table on the A id)
     def tag_pairs_a(df: pd.DataFrame) -> pd.DataFrame:
@@ -956,11 +974,13 @@ def embedding_near_dups(vecs: Dataset, threshold: float = 0.95,
         ka = data["doc_id_a"].to_numpy().astype(np.int64)
         wa_col = data["w_a"].to_numpy()
         idx = np.searchsorted(lk, kb)
-        ok = np.zeros(len(data), dtype=bool)
-        for i in range(len(data)):
-            wa = np.frombuffer(wa_col[i], dtype=np.int64)
-            wb = np.frombuffer(pay[idx[i]], dtype=np.int64)
-            ok[i] = int(wa @ wb) >= t_int
+        # qnorm vectors are fixed-dim int64: one reshaped batch + a
+        # row-wise integer dot replaces the per-pair Python loop
+        wa_m = np.frombuffer(b"".join(wa_col), dtype=np.int64) \
+            .reshape(len(data), -1)
+        wb_m = np.frombuffer(b"".join(pay[idx]), dtype=np.int64) \
+            .reshape(len(data), -1)
+        ok = np.einsum("ij,ij->i", wa_m, wb_m) >= t_int
         return pd.DataFrame({"doc_id_a": ka[ok], "doc_id_b": kb[ok]})
 
     pairs = withA.map_batches(tag_pairs_b, batch_format="pandas") \

@@ -147,7 +147,15 @@ def attach_bytes_by_id(rows: Dataset, key: str, lookup: Dataset,
         if len(data) and len(lk) == 0:
             raise KeyError(f"attach_bytes_by_id: no lookup rows for "
                            f"{key} partition containing {kv[:3]}...")
-        idx = np.searchsorted(lk, kv)
+        idx = np.minimum(np.searchsorted(lk, kv), max(len(lk) - 1, 0))
+        # fail LOUDLY on a violated every-key-exists precondition: an
+        # unchecked searchsorted result would silently attach the next
+        # key's payload instead of erroring
+        if len(data) and (lk[idx] != kv).any():
+            missing = kv[lk[idx] != kv]
+            raise KeyError(f"attach_bytes_by_id: {len(missing)} {key} "
+                           f"values missing from lookup, e.g. "
+                           f"{missing[:3]}")
         out = data[row_cols].copy()
         out[out_col] = pay[idx]
         return out
@@ -177,6 +185,9 @@ def hash_group_reduce(ds: Dataset, keys: list, agg: dict,
 
     ``agg``: {out_col: (in_col, op)} with op in sum/min/max/count/first.
     Output columns: keys + agg outputs; one row per distinct key tuple.
+    Null keys aggregate as their own group (``dropna=False`` — pandas'
+    silent default would DROP null-keyed rows, diverging from a SQL
+    GROUP BY and from the Ray aggregate this replaces).
     """
     for out_col, (in_col, op) in agg.items():
         if op not in _OPS:
@@ -197,8 +208,8 @@ def hash_group_reduce(ds: Dataset, keys: list, agg: dict,
         named = {out: (in_col if op != "count" else list(keys)[0],
                        "size" if op == "count" else op)
                  for out, (in_col, op) in agg.items()}
-        red = g.groupby(list(keys), as_index=False, sort=False) \
-            .agg(**named)
+        red = g.groupby(list(keys), as_index=False, sort=False,
+                        dropna=False).agg(**named)
         return red
 
     return ds.map_batches(tag, batch_format="pandas") \

@@ -211,6 +211,14 @@ def attach_payload(pairs: Dataset, payload: Dataset, pair_key: str,
     """
     from ..config import arrow_schema_of, join_parallelism, \
         repair_join_empties
+    # the hand-built repair schema below assumes no column-name overlap
+    # (Ray's join would suffix duplicates, making repaired empty blocks
+    # disagree with real joined blocks) — fail loudly instead
+    clash = (set(pairs.schema().names) - {pair_key}) \
+        & set(c for c in columns if c != payload_key)
+    if clash:
+        raise ValueError(f"attach_payload: payload columns {sorted(clash)}"
+                         f" collide with pair columns; rename one side")
     rhs = payload.select_columns([payload_key] + columns)
     out = pairs.join(rhs, join_type="inner",
                      num_partitions=join_parallelism(),

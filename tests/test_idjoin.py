@@ -1,5 +1,6 @@
 """Reduce-side id joins + high-cardinality group reduce (functions/idjoin)."""
 
+import pytest
 import numpy as np
 import pandas as pd
 import ray.data as rd
@@ -70,3 +71,30 @@ def test_hash_group_reduce_vs_pandas(ray_session):
         s=("v", "sum"), mn=("v", "min"), mx=("v", "max"),
         n=("v", "size")).sort_values(["k1", "k2"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got.astype(exp.dtypes.to_dict()), exp)
+
+
+def test_attach_bytes_by_id_missing_key_raises(ray_session):
+    """A rows[key] absent from lookup must raise, not silently attach a
+    neighboring key's payload (unchecked searchsorted regression)."""
+    rows = pd.DataFrame({"a": np.array([3, 5, 7], dtype=np.int64)})
+    look = pd.DataFrame({"id": np.array([3, 7], dtype=np.int64),
+                         "pay": [b"three", b"seven"]})
+    ds = attach_bytes_by_id(rd.from_pandas(rows), "a",
+                            rd.from_pandas(look), "id", "pay", "pa",
+                            num_parts=1)
+    with pytest.raises(Exception, match="missing from lookup"):
+        ds.materialize()
+
+
+def test_hash_group_reduce_keeps_null_keys(ray_session):
+    """Null keys aggregate as their own group (SQL GROUP BY semantics),
+    not silently dropped by the pandas dropna default."""
+    df = pd.DataFrame({"k": pd.array([1, 1, None, None, 2],
+                                     dtype="Int64"),
+                       "v": np.array([10, 20, 5, 7, 1],
+                                     dtype=np.int64)})
+    got = hash_group_reduce(rd.from_pandas(df), ["k"],
+                            {"s": ("v", "sum")}, num_parts=4).to_pandas()
+    by_key = {(-1 if pd.isna(r["k"]) else int(r["k"])): int(r["s"])
+              for _, r in got.iterrows()}
+    assert by_key == {1: 30, -1: 12, 2: 1}
