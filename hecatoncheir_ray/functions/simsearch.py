@@ -493,7 +493,10 @@ def write_ivf_store_v2(vecs: Dataset, out_dir: str, nlist: int = 16,
 def _ivf_score_dirs(dirs: list[str], Q: np.ndarray, qids: list[int],
                     k: int) -> list[tuple]:
     """Exact qnorm scores of the vectors in `dirs` vs queries Q (int64
-    qnorm matrix): per-batch local top-k, returns (qid, -score, vec_id)."""
+    qnorm matrix): per-batch local top-k, then a shuffle-side
+    groupby(query) merge so the driver receives only the final Q*k rows
+    (not blocks x Q x k partials — an IVF list can span many files at
+    corpus scale).  Returns (qid, -score, vec_id)."""
     import os
     import ray.data as rd
     files = [os.path.join(d, f) for d in dirs
@@ -514,14 +517,17 @@ def _ivf_score_dirs(dirs: list[str], Q: np.ndarray, qids: list[int],
             out_q.extend([qi] * len(order))
             out_v.extend(vid[order])
             out_s.extend(scores[order, qi])
-        return pd.DataFrame({"qi": np.array(out_q, dtype=np.int64),
+        return pd.DataFrame({"query_id": np.array(out_q, dtype=np.int64),
                              "vec_id": np.array(out_v, dtype=np.int64),
                              "score": np.array(out_s, dtype=np.int64)})
 
-    ds = rd.read_parquet(files)
-    return [(qids[int(r["qi"])], -int(r["score"]), int(r["vec_id"]))
-            for r in ds.select_columns(["vec_id", "embedding"])
-            .map_batches(local_topk, batch_format="pandas").take_all()]
+    ds = rd.read_parquet(files, columns=["vec_id", "embedding"])
+    merged = _merge_topk_shuffled(
+        ds.map_batches(local_topk, batch_format="pandas"),
+        list(range(len(qids))), k, keep_score=True)
+    return [(qids[int(qi)], -int(sc), int(vid))
+            for qi, vid, sc in zip(merged["query_id"], merged["vec_id"],
+                                   merged["score"])]
 
 
 def topk_cosine_ivf_store_qnorm(out_dir: str, query_vecs: np.ndarray,

@@ -94,10 +94,14 @@ def test_query_priority_ordering(entrymod):
     for q in ("image_verify", "image_verify_jpeg", "audio_features",
               "video_frame_sample"):
         assert names.index(q) < 50, q
+    assert names.index("image_poly_join") < 50
     assert set(names[50:]) <= {"doc_sample", "doc_lang_hist",
                                "box_join_count", "audio_codec_verify",
                                "video_codec_verify",
                                # full SQL oracles; window overflow is
                                # covered by this module's same-compare
                                "hex_assignment_points",
-                               "hex_counts_points"}
+                               "hex_counts_points",
+                               # core rides the two windowed quantile
+                               # rows + the pytest grouped oracle
+                               "event_value_quantiles_by_type"}
