@@ -280,6 +280,17 @@ def _q_poly_join_pairs_salted(sf_dir: str):
                         "intersects", cfg)
 
 
+def _q_poly_join_pairs_broadcast(sf_dir: str):
+    """Same join, same oracle — through the zero-shuffle broadcast path
+    (S pinned as block refs, R streamed): the driver bit-verifies that
+    the physical plan change alters nothing.  The 100 TB fast path when
+    the polygon side fits in worker memory."""
+    from hecatoncheir_ray.pipelines.spatial_join import spatial_join_broadcast
+    return spatial_join_broadcast(derive.ray_octagons_orders(sf_dir),
+                                  derive.ray_octagons_part(sf_dir),
+                                  "intersects", _cfg(), concurrency=4)
+
+
 # --- tiling (north rule: raster<->vector tile assignment) -------------------
 
 _TILE_PPD = 32
@@ -793,7 +804,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "box_find_relation_counts": _q_box_find_relation_counts,
         "range_count_points": _q_range_count_points,
         "knn_points": _q_knn_points,
-        "range_count_points_pruned": _q_range_count_points_pruned,
         "knn_points_pruned": _q_knn_points_pruned,
         "distance_join_pairs": _q_distance_join_pairs,
         "global_bounds": _q_global_bounds,
@@ -801,6 +811,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "poly_find_relation_counts": _q_poly_find_relation_counts,
         "poly_line_join_pairs": _q_poly_line_join_pairs,
         "poly_join_pairs_salted": _q_poly_join_pairs_salted,
+        "poly_join_pairs_broadcast": _q_poly_join_pairs_broadcast,
         "poly_measures": _q_poly_measures,
         "range_count_polygons": _q_range_count_polygons,
         "knn_join_points": _q_knn_join_points,
@@ -849,6 +860,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # event_value_quantiles_by_type's core rides the two quantile
         # rows still in the window + the pytest grouped-quantile oracle)
         "event_value_quantiles_by_type": _q_event_value_quantiles_by_type,
+        # range_count_points_pruned = range_count_points (windowed) over
+        # the store-pruned reader, whose pruning is pytest-checked
+        # (test_store)
+        "range_count_points_pruned": _q_range_count_points_pruned,
         "doc_sample": _q_doc_sample,
         "doc_lang_hist": _q_doc_lang_hist,
         "box_join_count": _q_box_join_count,
@@ -1183,6 +1198,13 @@ def oracle_sql() -> dict[str, str]:
                            (q.x - p.x) * (q.x - p.x)
                          + (q.y - p.y) * (q.y - p.y), p.id) AS rank
                 FROM q, p) WHERE rank <= {_KNNJ_K}""",
+        "poly_join_pairs_broadcast": f"""
+            WITH {_convex_pair_ctes(bo, derive.ORDERS_SALT,
+                                    derive.sql_boxes_part_oct(),
+                                    derive.PART_SALT)}
+            SELECT r_id, s_id FROM crossed
+            UNION SELECT r_id, s_id FROM r_in
+            UNION SELECT r_id, s_id FROM s_in""",
         "poly_join_pairs_salted": f"""
             WITH {_convex_pair_ctes(bo, derive.ORDERS_SALT,
                                     derive.sql_boxes_part_oct(),

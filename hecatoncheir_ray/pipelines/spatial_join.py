@@ -179,6 +179,134 @@ def spatial_join(r: Dataset, s: Dataset, predicate: str = "intersects",
     return both.groupby("part").map_groups(kernel, batch_format="pyarrow")
 
 
+def spatial_join_broadcast(r: Dataset, s: Dataset,
+                           predicate: str = "intersects",
+                           cfg: EngineConfig | None = None,
+                           concurrency: int = 4) -> Dataset:
+    """Zero-shuffle predicate join for a SMALL S side (broadcast join).
+
+    The scale rationale: when one side (typically the polygon layer — a
+    country/admin table is thousands of rows against 10^12 points) fits
+    in worker memory, the grid shuffle moves the ENTIRE big side through
+    the object store for nothing.  Here S is pinned once as Arrow block
+    refs (``ray.put`` semantics — one copy in the object store per node,
+    every actor maps it zero-copy), each actor builds a cell-bucket
+    index over S's MBRs ONCE in ``__init__``, and R streams through
+    ``map_batches`` unshuffled and unreplicated.  Exactly-once is
+    structural (each R row is seen by exactly one task), so no
+    reference-point dedup is needed.  Same candidate generation
+    (grid buckets + MBR test) and the SAME refinement kernels
+    (stages/sweep.refine_mask / classify_relations) as the shuffle
+    path — results are identical by construction.
+
+    The APRIL intermediate filter is intentionally not applied here:
+    this path targets small-S joins where per-pair refinement is cheap;
+    use :func:`spatial_join` when both sides are large.
+    """
+    import pyarrow as pa
+    from ..grid import explode_cells
+    from ..stages.assign import geoms_from_table
+    from ..stages.sweep import (PAIR_SCHEMA, REL_SCHEMA, classify_relations,
+                                refine_mask)
+    if predicate not in PREDICATES:
+        raise ValueError(f"unknown predicate {predicate!r}")
+    cfg = cfg or EngineConfig()
+    bounds = cfg.dataspace or compute_dataspace(r, s)
+    grid = cfg.make_grid(bounds)
+    find_rel = predicate == "find_relation"
+    schema = REL_SCHEMA if find_rel else PAIR_SCHEMA
+
+    s_mat = s.select_columns(GEOM_COLS).materialize()
+    if s_mat.count() == 0:
+        return ray.data.from_arrow(schema.empty_table())
+    # block refs, not take_all: blocks stay in the object store; actors
+    # deserialize them zero-copy (no driver round-trip of the payload)
+    s_refs = s_mat.to_arrow_refs()
+
+    class BroadcastJoin:
+        def __init__(self):
+            import ray as _ray
+            tabs = [t for t in _ray.get(list(s_refs)) if len(t)]
+            st = pa.concat_tables(tabs).combine_chunks()
+            (self.s_ids, self.s_gt, self.s_offs, self.s_vals,
+             self.s_minx, self.s_miny, self.s_maxx,
+             self.s_maxy) = geoms_from_table(st)
+            # Arrow list offsets are int32; the combined-SoA arithmetic
+            # below must not wrap once S+batch values pass 2^31
+            self.s_offs = self.s_offs.astype(np.int64)
+            self.n_s = len(self.s_ids)
+            # cell -> S-row bucket index (CSR over sorted unique cells)
+            srow, scell = explode_cells(grid, self.s_minx, self.s_miny,
+                                        self.s_maxx, self.s_maxy)
+            order = np.argsort(scell, kind="stable")
+            self.bucket_rows = srow[order]
+            cells_sorted = scell[order]
+            self.cells, starts = np.unique(cells_sorted, return_index=True)
+            self.starts = np.concatenate(
+                [starts, [len(cells_sorted)]]).astype(np.int64)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            geo_r = geoms_from_table(t)
+            (r_ids, r_gt, r_offs, r_vals,
+             r_minx, r_miny, r_maxx, r_maxy) = geo_r
+            if len(r_ids) == 0:
+                return schema.empty_table()
+            rrow, rcell = explode_cells(grid, r_minx, r_miny,
+                                        r_maxx, r_maxy)
+            # bucket lookup per (r_row, cell): ragged gather via cumsum
+            ci = np.searchsorted(self.cells, rcell)
+            ci = np.minimum(ci, max(len(self.cells) - 1, 0))
+            hit = self.cells[ci] == rcell
+            rrow, ci = rrow[hit], ci[hit]
+            cnt = self.starts[ci + 1] - self.starts[ci]
+            total = int(cnt.sum())
+            if total == 0:
+                return schema.empty_table()
+            gr = np.repeat(rrow, cnt)
+            base = np.repeat(self.starts[ci], cnt)
+            csum = np.zeros(len(cnt), dtype=np.int64)
+            np.cumsum(cnt[:-1], out=csum[1:])
+            local = np.arange(total, dtype=np.int64) - np.repeat(csum, cnt)
+            gs = self.bucket_rows[base + local]
+            # a (r,s) pair can co-occur in several cells: dedup in-batch
+            key = gr * np.int64(self.n_s) + gs
+            key = np.unique(key)
+            gr, gs = key // self.n_s, key % self.n_s
+            # MBR overlap
+            ov = ((r_minx[gr] <= self.s_maxx[gs])
+                  & (self.s_minx[gs] <= r_maxx[gr])
+                  & (r_miny[gr] <= self.s_maxy[gs])
+                  & (self.s_miny[gs] <= r_maxy[gr]))
+            gr, gs = gr[ov], gs[ov]
+            if len(gr) == 0:
+                return schema.empty_table()
+            # combined geometry SoA: S rows [0, n_s), R batch appended
+            geo = (np.concatenate([self.s_ids, r_ids]),
+                   np.concatenate([self.s_gt, r_gt]),
+                   np.concatenate([self.s_offs,
+                                   r_offs[1:].astype(np.int64)
+                                   + self.s_offs[-1]]),
+                   np.concatenate([self.s_vals, r_vals]),
+                   np.concatenate([self.s_minx, r_minx]),
+                   np.concatenate([self.s_miny, r_miny]),
+                   np.concatenate([self.s_maxx, r_maxx]),
+                   np.concatenate([self.s_maxy, r_maxy]))
+            gri = gr + self.n_s
+            if find_rel:
+                rel = classify_relations(cfg, geo, gri, gs)
+                return pa.table({"r_id": r_ids[gr],
+                                 "s_id": self.s_ids[gs],
+                                 "relation": rel}, schema=REL_SCHEMA)
+            keep = (np.ones(len(gri), dtype=bool) if not cfg.refinement
+                    else refine_mask(cfg, geo, gri, gs, predicate))
+            return pa.table({"r_id": r_ids[gr[keep]],
+                             "s_id": self.s_ids[gs[keep]]},
+                            schema=PAIR_SCHEMA)
+
+    return r.select_columns(GEOM_COLS).map_batches(
+        BroadcastJoin, batch_format="pyarrow", concurrency=concurrency)
+
+
 def relation_histogram(rel_pairs: Dataset):
     """(relation:int8) pairs Dataset -> DataFrame(relation_name, pair_count).
 

@@ -104,4 +104,7 @@ def test_query_priority_ordering(entrymod):
                                "hex_counts_points",
                                # core rides the two windowed quantile
                                # rows + the pytest grouped oracle
-                               "event_value_quantiles_by_type"}
+                               "event_value_quantiles_by_type",
+                               # = windowed range_count_points over the
+                               # store-pruned reader (test_store)
+                               "range_count_points_pruned"}
