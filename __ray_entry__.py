@@ -687,6 +687,12 @@ def _q_event_window_agg(sf_dir: str):
         _events(sf_dir, ["ts", "event_type", "value"]))
 
 
+def _q_event_session_agg(sf_dir: str):
+    from hecatoncheir_ray.functions.windows import session_window_agg
+    return session_window_agg(
+        _events(sf_dir, ["user_id", "ts", "event_id", "value"]))
+
+
 def _q_event_asof_user(sf_dir: str):
     """Keyed as-of join: every click attributed to the user's most recent
     prior view (one hash shuffle on user_id, vectorized multi-key
@@ -804,7 +810,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "box_find_relation_counts": _q_box_find_relation_counts,
         "range_count_points": _q_range_count_points,
         "knn_points": _q_knn_points,
-        "knn_points_pruned": _q_knn_points_pruned,
         "distance_join_pairs": _q_distance_join_pairs,
         "global_bounds": _q_global_bounds,
         "poly_join_pairs": _q_poly_join_pairs,
@@ -842,6 +847,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bpe_tokens": _q_doc_bpe_tokens,
         "event_window_agg": _q_event_window_agg,
         "event_hopping_agg": _q_event_hopping_agg,
+        "event_session_agg": _q_event_session_agg,
         "event_asof_user": _q_event_asof_user,
         "event_asof_global": _q_event_asof_global,
         "event_interval_join": _q_event_interval_join,
@@ -864,6 +870,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the store-pruned reader, whose pruning is pytest-checked
         # (test_store)
         "range_count_points_pruned": _q_range_count_points_pruned,
+        "knn_points_pruned": _q_knn_points_pruned,
         "doc_sample": _q_doc_sample,
         "doc_lang_hist": _q_doc_lang_hist,
         "box_join_count": _q_box_join_count,
@@ -1221,6 +1228,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_bpe_tokens": _text.BPE_TOKENS_SQL,
         "event_window_agg": _windows.tumbling_window_agg_sql(),
         "event_hopping_agg": _windows.hopping_window_agg_sql(),
+        "event_session_agg": _windows.session_window_agg_sql(),
         "event_asof_user": _asof.asof_join_sql("click", "view", by=True),
         "event_asof_global": _asof.asof_join_sql("error", "click",
                                                  by=False),

@@ -99,6 +99,87 @@ def hopping_window_agg(events: Dataset, window_us: int = HOUR_US,
     return _merge_partials(parts)
 
 
+def session_window_agg(events: Dataset, gap_us: int = HOUR_US // 2,
+                       num_parts: int = 64) -> pd.DataFrame:
+    """Gap-based session windows per user: a session is a maximal run of
+    a user's events with consecutive gaps <= ``gap_us``.
+
+    -> DataFrame(user_id, session_start_us, session_end_us, n,
+    value_milli), sorted.
+
+    Physical shape: ONE hash shuffle on user_id (sessionization needs a
+    user's events co-located, nothing more — no global sort), then a
+    fully vectorized per-partition kernel: sort by (user, ts, event_id),
+    boundary flags via diff > gap, session ids via cumsum, one pandas
+    groupby reduce.  Per-partition state is O(rows in partition); the
+    driver sees only final session rows.  Ties on ts break by event_id
+    on both sides, so the SQL twin is bit-exact."""
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].to_numpy().astype(np.uint64)
+        h = (u * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        out = df[["user_id", "ts", "event_id", "value"]].copy()
+        out["part"] = (h % np.uint64(num_parts)).astype(np.int64)
+        return out
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].to_numpy().astype("datetime64[us]").view("int64")
+        uid = g["user_id"].to_numpy().astype(np.int64)
+        eid = g["event_id"].to_numpy().astype(np.int64)
+        vm = np.floor(g["value"].to_numpy() * 1000 + 0.5).astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        ts, uid, vm = ts[order], uid[order], vm[order]
+        brk = np.ones(len(ts), dtype=bool)
+        if len(ts) > 1:
+            brk[1:] = (uid[1:] != uid[:-1]) | (ts[1:] - ts[:-1] > gap_us)
+        sess = np.cumsum(brk) - 1
+        df = pd.DataFrame({"sess": sess, "user_id": uid, "tus": ts,
+                           "vm": vm})
+        red = df.groupby("sess", as_index=False, sort=False).agg(
+            user_id=("user_id", "first"),
+            session_start_us=("tus", "min"),
+            session_end_us=("tus", "max"),
+            n=("vm", "size"), value_milli=("vm", "sum"))
+        return red.drop(columns=["sess"])
+
+    out = events.select_columns(["user_id", "ts", "event_id", "value"]) \
+        .map_batches(tag, batch_format="pandas") \
+        .groupby("part").map_groups(kernel, batch_format="pandas") \
+        .to_pandas()
+    for c in ("user_id", "session_start_us", "session_end_us", "n",
+              "value_milli"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["user_id", "session_start_us"]) \
+        .reset_index(drop=True)
+
+
+def session_window_agg_sql(gap_us: int = HOUR_US // 2) -> str:
+    """DuckDB twin: LAG-gap boundary flags + running SUM session ids."""
+    return f"""
+        WITH e AS (
+          SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS tus, event_id,
+                 CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS vm
+          FROM events
+        ),
+        m AS (
+          SELECT *, CASE WHEN tus - LAG(tus) OVER w > {gap_us}
+                           OR LAG(tus) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS brk
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+        ),
+        s AS (
+          SELECT *, SUM(brk) OVER (PARTITION BY user_id
+                                   ORDER BY tus, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sess
+          FROM m
+        )
+        SELECT user_id, MIN(tus) AS session_start_us,
+               MAX(tus) AS session_end_us, COUNT(*) AS n,
+               CAST(SUM(vm) AS BIGINT) AS value_milli
+        FROM s GROUP BY user_id, sess
+    """
+
+
 def hopping_window_agg_sql(window_us: int = HOUR_US,
                            hop_us: int = HOUR_US // 4) -> str:
     """DuckDB twin: explode via unnest(generate_series(w_lo, w_hi))."""

@@ -105,6 +105,8 @@ def test_query_priority_ordering(entrymod):
                                # core rides the two windowed quantile
                                # rows + the pytest grouped oracle
                                "event_value_quantiles_by_type",
-                               # = windowed range_count_points over the
-                               # store-pruned reader (test_store)
-                               "range_count_points_pruned"}
+                               # = windowed range_count_points /
+                               # knn_points over the store-pruned reader
+                               # (test_store)
+                               "range_count_points_pruned",
+                               "knn_points_pruned"}

@@ -350,6 +350,44 @@ def test_hopping_window_vs_duckdb(ray_session):
     assert got["n"].sum() == 4 * ev.count()
 
 
+def test_session_window_vs_duckdb(ray_session):
+    import duckdb
+    from hecatoncheir_ray.functions.windows import (session_window_agg,
+                                                    session_window_agg_sql)
+    ev = rd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    got = session_window_agg(ev)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                "read_parquet('/root/testdata/sf0.001/events.parquet')")
+    exp = con.execute(session_window_agg_sql()).df() \
+        .sort_values(["user_id", "session_start_us"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert len(got) > 0
+    # block-layout invariance: the one hash shuffle co-locates users
+    got16 = session_window_agg(ev.repartition(16))
+    pd.testing.assert_frame_equal(got16, got)
+
+
+def test_session_window_gap_semantics(ray_session):
+    """Handcrafted: gaps == gap keep the session; gaps > gap break it;
+    users never merge."""
+    from hecatoncheir_ray.functions.windows import session_window_agg
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    gap = 1_800_000_000  # 30 min (the default)
+    ts = [base, base + gap, base + 2 * gap,          # user 1: one session
+          base + 4 * gap + 1,                        # user 1: break (> gap)
+          base, base + gap + 1]                      # user 2: break at 2nd
+    df = pd.DataFrame({
+        "user_id": np.array([1, 1, 1, 1, 2, 2], dtype=np.int64),
+        "ts": pd.to_datetime(np.array(ts)),
+        "event_id": np.arange(6, dtype=np.int64),
+        "value": np.zeros(6)})
+    got = session_window_agg(rd.from_pandas(df), gap_us=gap)
+    assert list(got["user_id"]) == [1, 1, 2, 2]
+    assert list(got["n"]) == [3, 1, 1, 1]
+
+
 def test_doc_sample_vs_duckdb(ray_session):
     import duckdb
     from hecatoncheir_ray.functions.text import doc_sample_sql, ray_doc_sample
