@@ -419,6 +419,51 @@ def _q_image_poly_join(sf_dir: str):
     return out.map_batches(check, batch_format="pyarrow")
 
 
+def _q_image_phash_near_dups(sf_dir: str):
+    """Perceptual near-dup image detection, end to end: decode bytes ->
+    sampled-difference fingerprint (actor pool) -> banded hamming LSH
+    (EXACT for max_hamming < num_bands by pigeonhole).  The table seeds
+    true near-duplicates (dup_rate: re-rendered originals with a 1%
+    one-level nudge; measured dup pairs <= 1 bit vs unrelated median
+    32).  Rows-only: fingerprints derive from pixels, which SQL cannot
+    express — so TWO invariants ride in-query instead: the pair set
+    must equal the brute-force popcount scan, and every seeded
+    (original, dup) pair must be present (any gap raises)."""
+    from hecatoncheir_ray.functions.dedup import (hamming64,
+                                                  hamming_near_dup_pairs)
+    from hecatoncheir_ray.sources.images import (PerceptualHashImages,
+                                                 dup_sources,
+                                                 ray_image_table)
+
+    # pinned once: the LSH operator and the brute-force checker are two
+    # consumers of the (id, fingerprint) projection
+    kv = ray_image_table(400, seed=42, dup_rate=0.15) \
+        .map_batches(PerceptualHashImages, batch_format="pyarrow",
+                     batch_size=64, concurrency=(1, 4)).materialize()
+    got = hamming_near_dup_pairs(kv, "doc_id", "dhash",
+                                 max_hamming=6, num_bands=8)
+    # completeness oracle: 400 rows -> 79.8k popcounts, trivial at
+    # driver scale; the banded operator is the corpus-scale path
+    df = kv.to_pandas().sort_values("doc_id")
+    ids = df["doc_id"].to_numpy()
+    hs = df["dhash"].to_numpy().astype(np.int64).view(np.uint64)
+    iu, ju = np.triu_indices(len(ids), 1)
+    hit = hamming64(hs[iu], hs[ju]) <= 6
+    want = set(zip(ids[iu[hit]].tolist(), ids[ju[hit]].tolist()))
+    have = set(zip(got["doc_id_a"].tolist(), got["doc_id_b"].tolist()))
+    if want != have:
+        raise AssertionError(
+            f"near-dup pair set mismatch: banded {len(have)} vs "
+            f"brute {len(want)}")
+    isdup, src = dup_sources(np.arange(400, dtype=np.int64), 42, 0.15)
+    seeded = {(min(int(s), int(i)), max(int(s), int(i)))
+              for i, s in zip(np.nonzero(isdup)[0], src[isdup])}
+    if not seeded <= have:
+        raise AssertionError(
+            f"{len(seeded - have)} seeded near-dup pairs undetected")
+    return got
+
+
 def _q_image_verify(sf_dir: str):
     """Per-row input_hint invariant: decode PSNR + caption equality."""
     from hecatoncheir_ray.sources.images import make_verify_fn, ray_image_table
@@ -884,6 +929,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # contract test (tests/test_entry_contract.py) at sf0.001
         "hex_assignment_points": _q_hex_assignment_points,
         "hex_counts_points": _q_hex_counts_points,
+        # rows-only with an in-query completeness oracle (brute popcount)
+        "image_phash_near_dups": _q_image_phash_near_dups,
     }
 
 

@@ -791,6 +791,94 @@ def simhash_near_dups_sql(max_hamming: int = 3) -> str:
     """
 
 
+def hamming_near_dup_pairs(ds: Dataset, id_col: str, hash_col: str,
+                           max_hamming: int = 6, num_bands: int = 8,
+                           num_parts: int = 256) -> pd.DataFrame:
+    """Near-dup pairs over ANY int64 fingerprint column (e.g. the image
+    table's ``phash``) by banded hamming LSH — EXACT (complete) for
+    ``max_hamming < num_bands`` by pigeonhole: a pair differing in h
+    bits has some clean band whenever h < num_bands.
+
+    Generalizes the simhash kernel to a caller-supplied fingerprint:
+    band rows carry (band, key, id, sig) ints only, ONE hash-partitioned
+    groupby, vectorized bucket segmentation, in-kernel hamming verify,
+    lowest-colliding-band exactly-once emission.  Band width =
+    64/num_bands: wider bands (fewer of them) spread buckets thinner —
+    at corpus scale pick the widest band satisfying
+    ``max_hamming < num_bands`` (e.g. 8x8-bit for h <= 7); perceptual
+    hashes are biased toward a few hot buckets, so the hash-salted
+    partition key keeps groups bounded either way."""
+    if num_bands not in (4, 8, 16):
+        raise ValueError("num_bands must divide 64: one of 4, 8, 16")
+    if max_hamming >= num_bands:
+        raise ValueError(f"exactness needs max_hamming < num_bands "
+                         f"({max_hamming} >= {num_bands})")
+    width = 64 // num_bands
+    mask = np.uint64((1 << width) - 1)
+
+    def sig_rows(df: pd.DataFrame) -> pd.DataFrame:
+        dids = df[id_col].to_numpy().astype(np.int64)
+        hs = df[hash_col].to_numpy().astype(np.int64).view(np.uint64)
+        n = len(dids)
+        band = np.tile(np.arange(num_bands, dtype=np.int16), n)
+        didn = np.repeat(dids, num_bands)
+        sign = np.repeat(hs, num_bands)
+        key = ((sign >> (np.uint64(width) * band.astype(np.uint64)))
+               & mask).astype(np.int64)
+        bid = band.astype(np.uint64) * (mask + np.uint64(1)) \
+            + key.astype(np.uint64)
+        return pd.DataFrame({
+            "band": band, "key": key, "doc_id": didn,
+            "sig": sign.view(np.int64),
+            "part": (_mix(bid) % np.uint64(num_parts)).astype(np.int64)})
+
+    def verify_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        band = g["band"].to_numpy()
+        key = g["key"].to_numpy()
+        did = g["doc_id"].to_numpy().astype(np.int64)
+        sig = g["sig"].to_numpy().view(np.uint64)
+        order = np.lexsort((did, key, band))
+        band, key, did, sig = (band[order], key[order], did[order],
+                               sig[order])
+        new = np.concatenate([[True], (band[1:] != band[:-1])
+                              | (key[1:] != key[:-1])])
+        starts = np.flatnonzero(new)
+        ends = np.concatenate([starts[1:], [len(did)]])
+        out_a, out_b = [], []
+        for a, e in zip(starts.tolist(), ends.tolist()):
+            n = e - a
+            if n < 2:
+                continue
+            ids = did[a:e]
+            sg = sig[a:e]
+            b = int(band[a])
+            iu, ju = np.triu_indices(n, 1)
+            if b > 0:
+                sh = (sg[:, None] >> (np.uint64(width)
+                                      * np.arange(b, dtype=np.uint64)
+                                      [None, :])) & mask
+                dup = (sh[iu] == sh[ju]).any(axis=1)
+                iu, ju = iu[~dup], ju[~dup]
+                if len(iu) == 0:
+                    continue
+            ok = hamming64(sg[iu], sg[ju]) <= max_hamming
+            same = ids[iu] == ids[ju]     # identical fingerprints under
+            ok &= ~same                   # duplicate ids never self-pair
+            out_a.append(ids[iu[ok]])
+            out_b.append(ids[ju[ok]])
+        if not out_a:
+            return _EMPTY_PAIRS.copy()
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"doc_id_a": lo, "doc_id_b": hi})
+
+    pairs = ds.select_columns([id_col, hash_col]) \
+        .map_batches(sig_rows, batch_format="pandas") \
+        .groupby("part").map_groups(verify_kernel, batch_format="pandas")
+    return _sorted_pairs_df(pairs)
+
+
 def embedding_near_dups(vecs: Dataset, threshold: float = 0.95,
                         planes: int = 64, bands: int = 16,
                         seed: int = 7,

@@ -303,8 +303,14 @@ def spatial_join_broadcast(r: Dataset, s: Dataset,
                              "s_id": self.s_ids[gs[keep]]},
                             schema=PAIR_SCHEMA)
 
+    # autoscaling pool (min 1): a FIXED pool of N actors reserves N CPUs
+    # up front, which deadlocks the streaming executor when N equals the
+    # cluster's CPU count — the upstream read task can never schedule
+    # (observed: 4-actor pool + 4-CPU session hangs on ReadParquet).
+    # min=1 always leaves headroom; Ray scales the pool up as CPUs free.
     return r.select_columns(GEOM_COLS).map_batches(
-        BroadcastJoin, batch_format="pyarrow", concurrency=concurrency)
+        BroadcastJoin, batch_format="pyarrow",
+        concurrency=(1, max(1, concurrency)))
 
 
 def relation_histogram(rel_pairs: Dataset):

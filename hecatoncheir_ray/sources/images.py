@@ -173,6 +173,26 @@ def synth_pixels(idx: int, seed: int, w: int, h: int) -> np.ndarray:
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
+def dup_sources(ids: np.ndarray, seed: int,
+                dup_rate: float) -> tuple[np.ndarray, np.ndarray]:
+    """(isdup, src): which rows are near-duplicates and which ORIGINAL
+    row each re-renders.  A dup's raw base ``floor(u01 * i)`` may itself
+    be a dup; the chain is resolved hop by hop (each hop derives from
+    (seed, current id) alone, so the result is batch-invariant) until
+    src is a rendered original — dup pixels always match an actual row."""
+    isdup = (rand01(ids, seed, 40) < dup_rate) & (ids > 0)
+    src = np.where(isdup,
+                   np.floor(rand01(ids, seed, 41) * ids).astype(np.int64),
+                   ids)
+    while True:
+        again = (rand01(src, seed, 40) < dup_rate) & (src > 0) & isdup
+        if not again.any():
+            return isdup, src
+        src = np.where(again,
+                       np.floor(rand01(src, seed, 41)
+                                * src).astype(np.int64), src)
+
+
 def ahash64(pixels: np.ndarray) -> int:
     """Average-hash over an 8x8 block-mean downsample -> signed int64."""
     h, w, _ = pixels.shape
@@ -186,6 +206,53 @@ def ahash64(pixels: np.ndarray) -> int:
     for b in bits:
         val = (val << np.uint64(1)) | b
     return int(val.astype(np.int64))
+
+
+def dhash64_sampled(pixels: np.ndarray) -> int:
+    """Noise-sensitive perceptual hash: 64 adjacent-pixel comparisons at
+    hash-fixed relative positions -> signed int64.
+
+    Rationale: block-mean hashes (ahash64 above, classic dhash) collapse
+    on low-rank content — this fixture's smooth two-color gradients live
+    in a ~2-D block-mean subspace, so unrelated images collide heavily
+    (measured ~1% of pairs at hamming 0).  Comparing ADJACENT pixels
+    cancels the smooth component and keys the bit on the image's
+    high-frequency detail, which is unique per image here; measured
+    separation on the seeded-dup fixture: dup pairs <= 1 bit, unrelated
+    median 32.  Positions are relative (u, v), so equal-size renders
+    compare the same sample set."""
+    h, w, _ = pixels.shape
+    gray = pixels.astype(np.int32).sum(axis=2)
+    from .synth import _splitmix64
+    k = np.arange(64, dtype=np.uint64)
+    u = (_splitmix64(k + np.uint64(101)) >> np.uint64(11)) / float(1 << 53)
+    v = (_splitmix64(k + np.uint64(202)) >> np.uint64(11)) / float(1 << 53)
+    xs = np.minimum((u * (w - 1)).astype(np.int64), w - 2)
+    ys = np.minimum((v * h).astype(np.int64), h - 1)
+    bits = (gray[ys, xs] > gray[ys, xs + 1]).astype(np.uint64)
+    val = np.uint64(0)
+    for b in bits:
+        val = (val << np.uint64(1)) | b
+    return int(val.astype(np.int64))
+
+
+class PerceptualHashImages:
+    """Actor-pool stage: (image_id, bytes, fmt) -> (doc_id, dhash).
+
+    The decode -> fingerprint front half of an image-dedup pipeline
+    (pair discovery is ``functions.dedup.hamming_near_dup_pairs`` on the
+    output).  doc_id is the numeric image index (int64 join/dedup key).
+    Codec dispatch is per row; sample positions are shared constants."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, hashes = [], []
+        for iid, fmt, buf in zip(t["image_id"].to_pylist(),
+                                 t["fmt"].to_pylist(),
+                                 t["bytes"].to_pylist()):
+            hashes.append(dhash64_sampled(decode_image(buf, fmt)))
+            ids.append(int(iid[3:]))
+        return pa.table({"doc_id": pa.array(np.asarray(ids, np.int64)),
+                         "dhash": pa.array(np.asarray(hashes, np.int64))})
 
 
 _CAPTION_SUBJECTS = ["a lighthouse", "two kayaks", "an old bridge",
@@ -207,14 +274,27 @@ def decode_image(buf: bytes, fmt: str) -> np.ndarray:
 
 
 def synth_image_rows(ids: np.ndarray, seed: int = 42,
-                     fmt: str = "png") -> pa.Table:
+                     fmt: str = "png", dup_rate: float = 0.0) -> pa.Table:
     """Deterministic image+caption rows for the given ids.
 
     fmt: 'png' (lossless), 'jpeg' (baseline, quality 98 — lossy with
-    PSNR > 40 dB on this fixture), or 'mixed' (per-row hash choice)."""
+    PSNR > 40 dB on this fixture), or 'mixed' (per-row hash choice).
+
+    ``dup_rate`` > 0 seeds NEAR-DUPLICATE images: a hash-chosen fraction
+    of rows re-renders an earlier row's pixels with ~1% of samples
+    nudged by one level (visually identical, phash within a few bits) —
+    the ground truth for perceptual-hash dedup.  Row i's dup source is
+    a function of (seed, i) only, so the table stays batch-invariant.
+    Dup rows keep their OWN caption; the per-row decode-verify
+    invariant assumes dup_rate=0 (its re-synthesis is by row id)."""
     ids = np.asarray(ids, dtype=np.int64)
-    widths = _SIZES[(rand01(ids, seed, 20) * len(_SIZES)).astype(int)]
-    heights = _SIZES[(rand01(ids, seed, 21) * len(_SIZES)).astype(int)]
+    if dup_rate > 0:
+        isdup, src = dup_sources(ids, seed, dup_rate)
+    else:
+        isdup = np.zeros(len(ids), dtype=bool)
+        src = ids
+    widths = _SIZES[(rand01(src, seed, 20) * len(_SIZES)).astype(int)]
+    heights = _SIZES[(rand01(src, seed, 21) * len(_SIZES)).astype(int)]
     subj = (rand01(ids, seed, 22) * len(_CAPTION_SUBJECTS)).astype(int)
     styl = (rand01(ids, seed, 23) * len(_CAPTION_STYLES)).astype(int)
     if fmt == "mixed":
@@ -223,7 +303,17 @@ def synth_image_rows(ids: np.ndarray, seed: int = 42,
         fmts = np.full(len(ids), fmt, dtype=object)
     image_ids, blobs, caps, hashes = [], [], [], []
     for k, i in enumerate(ids.tolist()):
-        px = synth_pixels(i, seed, int(widths[k]), int(heights[k]))
+        px = synth_pixels(int(src[k]), seed, int(widths[k]),
+                          int(heights[k]))
+        if isdup[k]:
+            # deterministic +1-level nudge on ~1% of samples, keyed by
+            # the DUP row id (two dups of one base stay distinct)
+            flat = px.astype(np.int16).ravel()
+            pert = rand01(np.int64(i) * np.int64(7919)
+                          + np.arange(flat.size, dtype=np.int64),
+                          seed, 42) < 0.01
+            flat[pert] += 1
+            px = np.clip(flat, 0, 255).astype(np.uint8).reshape(px.shape)
         blobs.append(png_encode(px) if fmts[k] == "png"
                      else jpeg_encode(px, JPEG_QUALITY))
         image_ids.append(f"img{i:08d}")
@@ -242,7 +332,7 @@ def synth_image_rows(ids: np.ndarray, seed: int = 42,
 
 
 def ray_image_table(n: int, seed: int = 42, parallelism: int = -1,
-                    fmt: str = "png"):
+                    fmt: str = "png", dup_rate: float = 0.0):
     """Distributed deterministic image table (row i independent of batching).
 
     Wide binary rows: keep batches small so batch x concurrency fits worker heaps."""
@@ -250,7 +340,8 @@ def ray_image_table(n: int, seed: int = 42, parallelism: int = -1,
 
     def build(batch: pa.Table) -> pa.Table:
         return synth_image_rows(
-            batch["id"].to_numpy(zero_copy_only=False), seed, fmt)
+            batch["id"].to_numpy(zero_copy_only=False), seed, fmt,
+            dup_rate)
 
     ds = rd.range(n, override_num_blocks=parallelism if parallelism > 0
                   else None)

@@ -109,4 +109,7 @@ def test_query_priority_ordering(entrymod):
                                # knn_points over the store-pruned reader
                                # (test_store)
                                "range_count_points_pruned",
-                               "knn_points_pruned"}
+                               "knn_points_pruned",
+                               # rows-only; hard signal = its in-query
+                               # brute-force completeness oracle
+                               "image_phash_near_dups"}

@@ -210,3 +210,90 @@ def test_audio_video_stubs():
     with pytest.raises(VideoNotSupported):
         SampleVideoFrames()(vid)
     assert len(SampleVideoFrames(skip_undecodable=True)(vid)) == 0
+
+
+def test_seeded_near_dup_images_and_phash_pairs(ray_session):
+    """dup_rate seeds visually-near rows: banded hamming LSH must equal
+    the brute-force popcount pair set AND surface the seeded dups."""
+    import ray.data as rd
+    import numpy as np
+    from hecatoncheir_ray.functions.dedup import (hamming64,
+                                                  hamming_near_dup_pairs)
+    from hecatoncheir_ray.sources.images import synth_image_rows
+
+    t = synth_image_rows(np.arange(200, dtype=np.int64), seed=7,
+                         dup_rate=0.2)
+    ids = np.array([int(s[3:]) for s in t["image_id"].to_pylist()],
+                   dtype=np.int64)
+    hs = t["phash"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64).view(np.uint64)
+    kv = rd.from_arrow(__import__("pyarrow").table(
+        {"doc_id": ids, "phash": hs.view(np.int64)})).repartition(8)
+    got = hamming_near_dup_pairs(kv, "doc_id", "phash",
+                                 max_hamming=6, num_bands=8)
+    iu, ju = np.triu_indices(len(ids), 1)
+    hit = hamming64(hs[iu], hs[ju]) <= 6
+    want = sorted(zip(ids[iu[hit]].tolist(), ids[ju[hit]].tolist()))
+    assert sorted(zip(got["doc_id_a"], got["doc_id_b"])) == want
+    assert len(want) > 0          # seeded dups actually collide
+    # wider guarantee: 16 bands must produce the same (exact) set
+    got16 = hamming_near_dup_pairs(kv, "doc_id", "phash",
+                                   max_hamming=6, num_bands=16)
+    assert sorted(zip(got16["doc_id_a"], got16["doc_id_b"])) == want
+
+
+def test_dup_rate_zero_table_unchanged():
+    """dup_rate=0 must be byte-identical to the pre-dup synthesis (the
+    verify invariant and every recorded oracle depend on it)."""
+    import numpy as np
+    from hecatoncheir_ray.sources.images import synth_image_rows
+    a = synth_image_rows(np.arange(40, dtype=np.int64), seed=42)
+    b = synth_image_rows(np.arange(40, dtype=np.int64), seed=42,
+                         dup_rate=0.0)
+    assert a.equals(b)
+
+
+def test_perceptual_hash_dedup_separation(ray_session):
+    """decode -> sampled-difference fingerprint -> banded LSH: every
+    seeded (original, dup) pair found; unrelated pairs stay far."""
+    import numpy as np
+    import ray.data as rd
+    from hecatoncheir_ray.functions.dedup import (hamming64,
+                                                  hamming_near_dup_pairs)
+    from hecatoncheir_ray.sources.images import (PerceptualHashImages,
+                                                 dup_sources,
+                                                 ray_image_table)
+    kv = ray_image_table(200, seed=7, dup_rate=0.2) \
+        .map_batches(PerceptualHashImages, batch_format="pyarrow",
+                     batch_size=64, concurrency=2).materialize()
+    got = hamming_near_dup_pairs(kv, "doc_id", "dhash",
+                                 max_hamming=6, num_bands=8)
+    have = set(zip(got["doc_id_a"], got["doc_id_b"]))
+    isdup, src = dup_sources(np.arange(200, dtype=np.int64), 7, 0.2)
+    seeded = {(min(int(s), int(i)), max(int(s), int(i)))
+              for i, s in zip(np.nonzero(isdup)[0], src[isdup])}
+    assert len(seeded) > 10 and seeded <= have
+    # unrelated pairs stay far: the non-seeded remainder is tiny
+    # (only dup-sibling pairs sharing one original may legitimately add)
+    df = kv.to_pandas()
+    hs = df["dhash"].to_numpy().astype(np.int64).view(np.uint64)
+    iu, ju = np.triu_indices(len(hs), 1)
+    h = hamming64(hs[iu], hs[ju])
+    assert np.median(h) > 20
+
+
+def test_dup_sources_chain_resolution():
+    """src is always a rendered ORIGINAL (never itself a dup), and
+    depends only on (seed, id) — batch-invariant."""
+    import numpy as np
+    from hecatoncheir_ray.sources.images import dup_sources
+    from hecatoncheir_ray.sources.synth import rand01
+    ids = np.arange(5000, dtype=np.int64)
+    isdup, src = dup_sources(ids, 42, 0.3)
+    still = (rand01(src, 42, 40) < 0.3) & (src > 0)
+    assert not still.any()
+    assert (src[~isdup] == ids[~isdup]).all()
+    assert (src[isdup] < ids[isdup]).all()
+    # split invariance
+    _, s1 = dup_sources(ids[:1234], 42, 0.3)
+    assert (s1 == src[:1234]).all()
