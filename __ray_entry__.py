@@ -341,6 +341,25 @@ def _q_tile_cover_boxes(sf_dir: str):
     return tile_cover(derive.ray_boxes_part(sf_dir), _tile_grid())
 
 
+def _q_raster_regions_points(sf_dir: str):
+    """Raster -> VECTOR (the reverse tiling direction of the north
+    rule's "raster<->vector tiling"): density raster over the point
+    layer -> 4-connected above-threshold regions as vector bboxes.
+    Threshold = 1 + mean points/tile, derived identically in the SQL
+    twin's HAVING clause from the same COUNT(*)."""
+    import ray.data as rd
+
+    from hecatoncheir_ray.pipelines.tiling import (raster_regions,
+                                                   tile_assignments,
+                                                   tile_counts_ds)
+    n = rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_id"]).count()
+    thr = 1 + n // (_TILE_PPD * _TILE_PPD)
+    tiles = tile_counts_ds(
+        tile_assignments(derive.ray_points_events(sf_dir), _tile_grid()))
+    return raster_regions(tiles, _tile_grid(), thr)
+
+
 def _q_tile_pyramid_counts(sf_dir: str):
     """Hierarchical quadkey pyramid (H3/S2-style Z-order index): per-tile
     point counts at every zoom 0..8 in one pass + one shuffle."""
@@ -869,6 +888,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_counts_points": _q_tile_counts_points,
         "tile_pyramid_counts": _q_tile_pyramid_counts,
         "tile_cover_boxes": _q_tile_cover_boxes,
+        "raster_regions_points": _q_raster_regions_points,
         "image_tile_assignments": _q_image_tile_assignments,
         "image_poly_join": _q_image_poly_join,
         "image_verify": _q_image_verify,
@@ -1216,6 +1236,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1""",
         "tile_pyramid_counts": _pyramid_sql(),
         "tile_cover_boxes": _tile_cover_sql(),
+        "raster_regions_points": _raster_regions_points_sql(),
         "image_tile_assignments": _image_tiles_sql(),
         "image_poly_join": _image_poly_join_sql(),
         "poly_join_pairs": f"""
@@ -1369,6 +1390,20 @@ def _tile_cover_sql() -> str:
         e2 AS (SELECT id, cy,
                       unnest(generate_series(cx0, cx1)) AS cx FROM e1)
         SELECT id, cy * {p} + cx AS tile_id FROM e2"""
+
+
+def _raster_regions_points_sql() -> str:
+    """Twin of _q_raster_regions_points: the tile_counts SQL feeds the
+    recursive-CTE polygonizer; the threshold derives from the same
+    COUNT(*) expression the Ray side computes (1 + mean points/tile)."""
+    from hecatoncheir_ray.pipelines.tiling import raster_regions_sql
+    pts = derive.sql_points_events()
+    tiles = (f"WITH p AS ({pts}) "
+             f"SELECT {_tile_sql()} AS tile_id, COUNT(*) AS n FROM p "
+             f"GROUP BY 1")
+    thr = (f"1 + (SELECT COUNT(*) FROM ({pts})) "
+           f"// {_TILE_PPD * _TILE_PPD}")
+    return raster_regions_sql(tiles, _tile_grid(), thr)
 
 
 def _pyramid_sql() -> str:

@@ -57,17 +57,17 @@ def tile_cover(geoms: Dataset, grid: GridSpec) -> Dataset:
     return geoms.map_batches(cover, batch_format="pyarrow")
 
 
-def tile_counts(assignments: Dataset, grid: GridSpec):
-    """(id, tile_id) -> DataFrame(tile_id, n) for non-empty tiles.
+def tile_counts_ds(assignments: Dataset, num_parts: int = 64) -> Dataset:
+    """(id, tile_id) -> Dataset(tile_id, n) for non-empty tiles — the
+    raster stays in the object store (feed it to :func:`raster_regions`
+    at scale); ``tile_counts`` is the driver-materializing wrapper.
 
     Per-batch SPARSE (tile, count) partials + one shuffle-side groupby
     Sum — partial size tracks the batch's distinct tiles (not ppd^2
-    dense), and the driver only ever sees the non-empty result rows, so
-    the same code holds at ppd 32 and ppd 4096.  The Sum merge is a
-    hash-partitioned pandas reduce: tile cardinality reaches ppd^2 and
-    Ray's sort-based aggregate pays ~0.3 ms coordination per group."""
-    import pandas as pd
-
+    dense), so the same code holds at ppd 32 and ppd 4096.  The Sum
+    merge is a hash-partitioned pandas reduce: tile cardinality reaches
+    ppd^2 and Ray's sort-based aggregate pays ~0.3 ms coordination per
+    group."""
     from ..functions.idjoin import hash_group_reduce
 
     def partial(t: pa.Table) -> pa.Table:
@@ -76,12 +76,204 @@ def tile_counts(assignments: Dataset, grid: GridSpec):
         return pa.table({"tile_id": pa.array(uc, type=pa.int64()),
                          "n": pa.array(cnt.astype(np.int64))})
 
-    out = hash_group_reduce(
+    return hash_group_reduce(
         assignments.map_batches(partial, batch_format="pyarrow"),
-        ["tile_id"], {"n": ("n", "sum")}, num_parts=64).to_pandas()
+        ["tile_id"], {"n": ("n", "sum")}, num_parts=num_parts)
+
+
+def tile_counts(assignments: Dataset, grid: GridSpec):
+    """Driver-materialized (sorted) :func:`tile_counts_ds` — the driver
+    only ever sees the non-empty result rows."""
+    out = tile_counts_ds(assignments).to_pandas()
     out["tile_id"] = out["tile_id"].astype(np.int64)
     out["n"] = out["n"].astype(np.int64)
     return out.sort_values("tile_id").reset_index(drop=True)
+
+
+def raster_regions(tile_values: Dataset, grid: GridSpec, threshold: int,
+                   num_parts: int = 64) -> Dataset:
+    """Raster -> VECTOR (the reverse tiling direction of the north rule):
+    4-connected components of above-threshold raster tiles, one vector
+    feature per region — (region_id, tile_count, total_n, minx, miny,
+    maxx, maxy) with region_id = the component's minimum tile_id and the
+    bbox in dataspace coordinates.  The classic "polygonize" step that
+    turns a density/heat raster back into query geometry (e.g. hot-spot
+    extraction over a point corpus).
+
+    Scale shape: everything is tile-cardinality (<= ppd^2, independent of
+    the input corpus).  Kept tiles are pinned once for their three
+    consumers; candidate 4-adjacency edges survive via one reduce-side
+    semi-join (a neighbor must itself be a kept tile — no dense grid is
+    ever materialized); components come from the alternating-star CC
+    (groupby-only, O(log n) rounds); the per-region bbox/total reduce is
+    one hash_group_reduce over per-batch partials.  The driver never
+    sees per-tile rows.
+
+    Float policy: the bbox arithmetic is exactly two IEEE ops per bound
+    (``grid_origin + index * cell_size``), written identically in the
+    SQL twin — bit-exact checkable like quadkey/hex_sql."""
+    import pandas as pd
+
+    from ..functions.dedup import connected_components
+    from ..functions.idjoin import filter_by_ids, hash_group_reduce
+    ppd = grid.ppd
+
+    def kept_rows(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["n"].to_numpy() >= threshold
+        return pd.DataFrame(
+            {"tile_id": df["tile_id"].to_numpy()[m].astype(np.int64),
+             "n": df["n"].to_numpy()[m].astype(np.int64)})
+
+    # pinned once: edge source + semi-join id side + identity label rows
+    kept = tile_values.map_batches(kept_rows,
+                                   batch_format="pandas").materialize()
+    if kept.count() == 0:
+        # an all-empty input yields schema-less downstream Datasets that
+        # poison the id joins; the scalar count is free on a
+        # materialized Dataset
+        import ray.data
+
+        # a PANDAS block: Dataset.to_pandas() drops the schema of empty
+        # ARROW blocks (observed on Ray 2.49), but concatenating pandas
+        # blocks keeps the typed empty columns
+        return ray.data.from_pandas(pd.DataFrame({
+            "region_id": pd.Series([], dtype=np.int64),
+            "tile_count": pd.Series([], dtype=np.int64),
+            "total_n": pd.Series([], dtype=np.int64),
+            "minx": pd.Series([], dtype=np.float64),
+            "miny": pd.Series([], dtype=np.float64),
+            "maxx": pd.Series([], dtype=np.float64),
+            "maxy": pd.Series([], dtype=np.float64)}))
+
+    def cand_edges(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["tile_id"].to_numpy().astype(np.int64)
+        right = t[(t % ppd) < ppd - 1]        # row-major: +1 unless at
+        up = t[(t // ppd) < ppd - 1]          # the x edge; +ppd for y
+        return pd.DataFrame({
+            "u": np.concatenate([right, up]),
+            "v": np.concatenate([right + 1, up + ppd])})
+
+    edges = filter_by_ids(
+        kept.map_batches(cand_edges, batch_format="pandas"),
+        "v", kept, "tile_id", keep=True, num_parts=num_parts)
+    stars = connected_components(edges, num_parts=num_parts)
+
+    # label every kept tile: identity rows carry the tile's value (stars
+    # carry 0), so one Min/Sum reduce yields (tile, region, n) together
+    def ident(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["tile_id"].to_numpy().astype(np.int64)
+        return pd.DataFrame({"u": t, "v": t,
+                             "n": df["n"].to_numpy().astype(np.int64)})
+
+    def zero_n(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"u": df["u"].to_numpy().astype(np.int64),
+                             "v": df["v"].to_numpy().astype(np.int64),
+                             "n": np.zeros(len(df), dtype=np.int64)})
+
+    labels = hash_group_reduce(
+        kept.map_batches(ident, batch_format="pandas")
+            .union(stars.map_batches(zero_n, batch_format="pandas")),
+        ["u"], {"region_id": ("v", "min"), "nn": ("n", "sum")},
+        num_parts=num_parts)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["u"].to_numpy().astype(np.int64)
+        tx, ty = t % ppd, t // ppd
+        g = pd.DataFrame(
+            {"region_id": df["region_id"].to_numpy().astype(np.int64),
+             "tile_count": np.ones(len(df), dtype=np.int64),
+             "total_n": df["nn"].to_numpy().astype(np.int64),
+             "tx0": tx, "tx1": tx, "ty0": ty, "ty1": ty})
+        return g.groupby("region_id", as_index=False).agg(
+            tile_count=("tile_count", "sum"), total_n=("total_n", "sum"),
+            tx0=("tx0", "min"), tx1=("tx1", "max"),
+            ty0=("ty0", "min"), ty1=("ty1", "max"))
+
+    red = hash_group_reduce(
+        labels.map_batches(partial, batch_format="pandas"),
+        ["region_id"],
+        {"tile_count": ("tile_count", "sum"),
+         "total_n": ("total_n", "sum"),
+         "tx0": ("tx0", "min"), "tx1": ("tx1", "max"),
+         "ty0": ("ty0", "min"), "ty1": ("ty1", "max")},
+        num_parts=num_parts)
+
+    gx0, gy0 = grid.minx, grid.miny
+    cw, ch = grid.cell_w, grid.cell_h
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        tx0 = df["tx0"].to_numpy().astype(np.float64)
+        ty0 = df["ty0"].to_numpy().astype(np.float64)
+        tx1 = df["tx1"].to_numpy().astype(np.float64)
+        ty1 = df["ty1"].to_numpy().astype(np.float64)
+        return pd.DataFrame({
+            "region_id": df["region_id"].to_numpy().astype(np.int64),
+            "tile_count": df["tile_count"].to_numpy().astype(np.int64),
+            "total_n": df["total_n"].to_numpy().astype(np.int64),
+            "minx": gx0 + tx0 * cw, "miny": gy0 + ty0 * ch,
+            "maxx": gx0 + (tx1 + 1.0) * cw,
+            "maxy": gy0 + (ty1 + 1.0) * ch})
+
+    return red.map_batches(finish, batch_format="pandas")
+
+
+def raster_regions_sql(tiles_sql: str, grid: GridSpec,
+                       threshold) -> str:
+    """DuckDB twin of :func:`raster_regions` over ``tiles_sql`` (any
+    relation with columns tile_id, n): recursive-CTE reachability for
+    the component min-label (the near_dup_clusters_sql pattern), with
+    the SAME two-IEEE-op bbox arithmetic as the Ray side.
+
+    ``threshold``: an int, or a scalar SQL expression string (e.g. a
+    COUNT(*) subquery) when the twin must derive it from the data."""
+    ppd = grid.ppd
+    gx0, gy0 = grid.minx, grid.miny
+    cw, ch = grid.cell_w, grid.cell_h
+    return f"""
+        WITH RECURSIVE kept AS (
+            SELECT tile_id, n FROM ({tiles_sql}) WHERE n >= {threshold}),
+        edges AS (
+            SELECT a.tile_id AS u, b.tile_id AS v FROM kept a
+            JOIN kept b ON b.tile_id = a.tile_id + 1
+            WHERE a.tile_id % {ppd} < {ppd - 1}
+            UNION ALL
+            SELECT a.tile_id, b.tile_id FROM kept a
+            JOIN kept b ON b.tile_id = a.tile_id + {ppd}
+            UNION ALL
+            SELECT a.tile_id, b.tile_id FROM kept a
+            JOIN kept b ON b.tile_id = a.tile_id - 1
+            WHERE a.tile_id % {ppd} > 0
+            UNION ALL
+            SELECT a.tile_id, b.tile_id FROM kept a
+            JOIN kept b ON b.tile_id = a.tile_id - {ppd}),
+        reach AS (SELECT tile_id AS u, tile_id AS v FROM kept
+                  UNION
+                  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v),
+        labels AS (SELECT u AS tile_id, MIN(v) AS region_id
+                   FROM reach GROUP BY 1)
+        SELECT l.region_id AS region_id,
+               COUNT(*) AS tile_count,
+               CAST(SUM(k.n) AS BIGINT) AS total_n,
+               -- STRING casts: DuckDB parses a bare decimal literal as
+               -- DECIMAL and converts DECIMAL->DOUBLE by a double
+               -- division (observed 1-ulp off vs the correctly-rounded
+               -- strtod parse for cell_w's 17-digit repr); a
+               -- string->DOUBLE cast round-trips exactly
+               CAST('{gx0!r}' AS DOUBLE)
+                 + MIN(k.tile_id % {ppd}) * CAST('{cw!r}' AS DOUBLE)
+                 AS minx,
+               CAST('{gy0!r}' AS DOUBLE)
+                 + MIN(k.tile_id // {ppd}) * CAST('{ch!r}' AS DOUBLE)
+                 AS miny,
+               CAST('{gx0!r}' AS DOUBLE)
+                 + (MAX(k.tile_id % {ppd}) + 1) * CAST('{cw!r}' AS DOUBLE)
+                 AS maxx,
+               CAST('{gy0!r}' AS DOUBLE)
+                 + (MAX(k.tile_id // {ppd}) + 1) * CAST('{ch!r}' AS DOUBLE)
+                 AS maxy
+        FROM labels l JOIN kept k ON k.tile_id = l.tile_id
+        GROUP BY 1
+    """
 
 
 # ---------------------------------------------------------------------------

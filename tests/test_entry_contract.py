@@ -102,8 +102,9 @@ def test_query_priority_ordering(entrymod):
                                # covered by this module's same-compare
                                "hex_assignment_points",
                                "hex_counts_points",
-                               # core rides the two windowed quantile
-                               # rows + the pytest grouped oracle
+                               # core rides doc_len_quantiles + the
+                               # two windowed/grouped pytest oracles
+                               "event_value_quantiles",
                                "event_value_quantiles_by_type",
                                # = windowed range_count_points /
                                # knn_points over the store-pruned reader
