@@ -360,6 +360,20 @@ def _q_raster_regions_points(sf_dir: str):
     return raster_regions(tiles, _tile_grid(), thr)
 
 
+def _q_zonal_stats(sf_dir: str):
+    """Zonal statistics (raster x vector): per orders-octagon zone,
+    aggregate the point-density raster tiles its polygon intersects —
+    tile_boxes -> broadcast spatial join -> attach values -> one
+    hash_group_reduce.  Exact geometry, not rasterized zones."""
+    from hecatoncheir_ray.pipelines.tiling import (tile_assignments,
+                                                   tile_counts_ds,
+                                                   zonal_stats)
+    tiles = tile_counts_ds(
+        tile_assignments(derive.ray_points_events(sf_dir), _tile_grid()))
+    return zonal_stats(tiles, derive.ray_octagons_orders(sf_dir),
+                       _tile_grid(), "intersects", _cfg())
+
+
 def _q_tile_pyramid_counts(sf_dir: str):
     """Hierarchical quadkey pyramid (H3/S2-style Z-order index): per-tile
     point counts at every zoom 0..8 in one pass + one shuffle."""
@@ -879,7 +893,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "poly_join_pairs": _q_poly_join_pairs,
         "poly_find_relation_counts": _q_poly_find_relation_counts,
         "poly_line_join_pairs": _q_poly_line_join_pairs,
-        "poly_join_pairs_salted": _q_poly_join_pairs_salted,
         "poly_join_pairs_broadcast": _q_poly_join_pairs_broadcast,
         "poly_measures": _q_poly_measures,
         "range_count_polygons": _q_range_count_polygons,
@@ -889,6 +902,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_pyramid_counts": _q_tile_pyramid_counts,
         "tile_cover_boxes": _q_tile_cover_boxes,
         "raster_regions_points": _q_raster_regions_points,
+        "zonal_stats": _q_zonal_stats,
         "image_tile_assignments": _q_image_tile_assignments,
         "image_poly_join": _q_image_poly_join,
         "image_verify": _q_image_verify,
@@ -951,6 +965,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hex_counts_points": _q_hex_counts_points,
         # rows-only with an in-query completeness oracle (brute popcount)
         "image_phash_near_dups": _q_image_phash_near_dups,
+        # same join + oracle as poly_join_pairs, forced through the
+        # hash-salting skew path (driver-verified bit-exact in rounds
+        # 2-3; salting invariance also held by property tests)
+        "poly_join_pairs_salted": _q_poly_join_pairs_salted,
     }
 
 
@@ -1237,6 +1255,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_pyramid_counts": _pyramid_sql(),
         "tile_cover_boxes": _tile_cover_sql(),
         "raster_regions_points": _raster_regions_points_sql(),
+        "zonal_stats": _zonal_stats_sql(),
         "image_tile_assignments": _image_tiles_sql(),
         "image_poly_join": _image_poly_join_sql(),
         "poly_join_pairs": f"""
@@ -1390,6 +1409,85 @@ def _tile_cover_sql() -> str:
         e2 AS (SELECT id, cy,
                       unnest(generate_series(cx0, cx1)) AS cx FROM e1)
         SELECT id, cy * {p} + cx AS tile_id FROM e2"""
+
+
+def _zonal_stats_sql() -> str:
+    """Twin of _q_zonal_stats: tile rectangles (same string-cast DOUBLE
+    corner arithmetic as tile_boxes) vs orders octagons through the
+    convex intersect decomposition (proper edge crossing OR tile corner
+    strictly inside the octagon OR octagon v1 strictly inside the tile
+    — complete for convex pairs in generic position, the same
+    decomposition range_count_polygons proves against refine_mask),
+    then the per-zone aggregate."""
+    g = _tile_grid()
+    p = _TILE_PPD
+    pts = derive.sql_points_events()
+    bo = derive.sql_boxes_orders()
+    zv = derive.sql_octagon_vertices(bo, "id", derive.ORDERS_SALT)
+    gx0, gy0, cw, ch = g.minx, g.miny, g.cell_w, g.cell_h
+    o1 = _orient("ze.sx", "ze.sy", "ze.ex", "ze.ey", "te.sx", "te.sy")
+    o2 = _orient("ze.sx", "ze.sy", "ze.ex", "ze.ey", "te.ex", "te.ey")
+    o3 = _orient("te.sx", "te.sy", "te.ex", "te.ey", "ze.sx", "ze.sy")
+    o4 = _orient("te.sx", "te.sy", "te.ex", "te.ey", "ze.ex", "ze.ey")
+    in_oct = _orient("ze.sx", "ze.sy", "ze.ex", "ze.ey",
+                     "tb2.minx", "tb2.miny")
+    return f"""
+        WITH pp AS ({pts}),
+        tiles AS (SELECT {_tile_sql()} AS tile_id, COUNT(*) AS n
+                  FROM pp GROUP BY 1),
+        tb AS (SELECT tile_id, n,
+                   CAST('{gx0!r}' AS DOUBLE)
+                     + (tile_id % {p}) * CAST('{cw!r}' AS DOUBLE) AS minx,
+                   CAST('{gy0!r}' AS DOUBLE)
+                     + (tile_id // {p}) * CAST('{ch!r}' AS DOUBLE) AS miny,
+                   CAST('{gx0!r}' AS DOUBLE)
+                     + ((tile_id % {p}) + 1) * CAST('{cw!r}' AS DOUBLE)
+                     AS maxx,
+                   CAST('{gy0!r}' AS DOUBLE)
+                     + ((tile_id // {p}) + 1) * CAST('{ch!r}' AS DOUBLE)
+                     AS maxy
+               FROM tiles),
+        zb AS ({bo}), zv AS ({zv}),
+        ze AS (SELECT a.id, a.x AS sx, a.y AS sy, b.x AS ex, b.y AS ey
+               FROM zv a JOIN zv b ON b.id = a.id AND b.i = (a.i % 8) + 1),
+        te AS (SELECT tile_id, k.i,
+                      CASE k.i WHEN 1 THEN minx WHEN 2 THEN maxx
+                               WHEN 3 THEN maxx ELSE minx END AS sx,
+                      CASE k.i WHEN 1 THEN miny WHEN 2 THEN miny
+                               WHEN 3 THEN maxy ELSE maxy END AS sy,
+                      CASE k.i WHEN 1 THEN maxx WHEN 2 THEN maxx
+                               WHEN 3 THEN minx ELSE minx END AS ex,
+                      CASE k.i WHEN 1 THEN miny WHEN 2 THEN maxy
+                               WHEN 3 THEN maxy ELSE miny END AS ey
+               FROM tb CROSS JOIN
+               (SELECT unnest(generate_series(1, 4)) AS i) k),
+        cand AS (SELECT t.tile_id, z.id AS zone_id FROM tb t, zb z
+                 WHERE t.minx <= z.maxx AND z.minx <= t.maxx
+                   AND t.miny <= z.maxy AND z.miny <= t.maxy),
+        crossed AS (SELECT c.tile_id, c.zone_id FROM cand c
+            JOIN te ON te.tile_id = c.tile_id
+            JOIN ze ON ze.id = c.zone_id
+            WHERE ({o1}) * ({o2}) < 0 AND ({o3}) * ({o4}) < 0
+            GROUP BY c.tile_id, c.zone_id),
+        t_in AS (SELECT c.tile_id, c.zone_id FROM cand c
+            JOIN tb tb2 ON tb2.tile_id = c.tile_id
+            JOIN ze ON ze.id = c.zone_id
+            GROUP BY c.tile_id, c.zone_id
+            HAVING BOOL_AND(({in_oct}) > 0)),
+        z_in AS (SELECT c.tile_id, c.zone_id FROM cand c
+            JOIN zv p ON p.id = c.zone_id AND p.i = 1
+            JOIN tb tb2 ON tb2.tile_id = c.tile_id
+            WHERE p.x > tb2.minx AND p.x < tb2.maxx
+              AND p.y > tb2.miny AND p.y < tb2.maxy),
+        pairs AS (SELECT tile_id, zone_id FROM crossed
+                  UNION SELECT tile_id, zone_id FROM t_in
+                  UNION SELECT tile_id, zone_id FROM z_in)
+        SELECT pr.zone_id AS zone_id,
+               COUNT(*) AS tile_count,
+               CAST(SUM(tb.n) AS BIGINT) AS total_n,
+               MIN(tb.n) AS min_n, MAX(tb.n) AS max_n
+        FROM pairs pr JOIN tb ON tb.tile_id = pr.tile_id
+        GROUP BY 1"""
 
 
 def _raster_regions_points_sql() -> str:

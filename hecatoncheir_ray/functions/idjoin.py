@@ -114,12 +114,28 @@ def attach_bytes_by_id(rows: Dataset, key: str, lookup: Dataset,
     (every ``rows[key]`` must exist in ``lookup`` — true by construction
     when rows were derived from lookup's table, e.g. LSH candidates from
     the corpus).  Rows keep their columns plus ``out_col``."""
+    return _attach_by_id(rows, key, lookup, lookup_key, payload, out_col,
+                         b"", num_parts)
+
+
+def attach_i64_by_id(rows: Dataset, key: str, lookup: Dataset,
+                     lookup_key: str, payload: str, out_col: str,
+                     num_parts: int = 256) -> Dataset:
+    """:func:`attach_bytes_by_id` for an int64 payload column (e.g. a
+    raster tile's value onto join pair rows)."""
+    return _attach_by_id(rows, key, lookup, lookup_key, payload, out_col,
+                         np.int64(0), num_parts)
+
+
+def _attach_by_id(rows: Dataset, key: str, lookup: Dataset,
+                  lookup_key: str, payload: str, out_col: str,
+                  fill, num_parts: int) -> Dataset:
     row_cols = [c for c in rows.schema().names]
     rtypes = _filler_specs(rows, row_cols)
 
     def tag_rows(df: pd.DataFrame) -> pd.DataFrame:
         out = df[row_cols].copy()
-        out[out_col] = b""
+        out[out_col] = fill
         out["_tag"] = np.int8(0)
         out["_part"] = _part_of(out[key].to_numpy().astype(np.int64),
                                 num_parts)
@@ -145,7 +161,7 @@ def attach_bytes_by_id(rows: Dataset, key: str, lookup: Dataset,
         pay = look[out_col].to_numpy()[order]
         kv = data[key].to_numpy().astype(np.int64)
         if len(data) and len(lk) == 0:
-            raise KeyError(f"attach_bytes_by_id: no lookup rows for "
+            raise KeyError(f"attach_by_id: no lookup rows for "
                            f"{key} partition containing {kv[:3]}...")
         idx = np.minimum(np.searchsorted(lk, kv), max(len(lk) - 1, 0))
         # fail LOUDLY on a violated every-key-exists precondition: an
@@ -153,7 +169,7 @@ def attach_bytes_by_id(rows: Dataset, key: str, lookup: Dataset,
         # key's payload instead of erroring
         if len(data) and (lk[idx] != kv).any():
             missing = kv[lk[idx] != kv]
-            raise KeyError(f"attach_bytes_by_id: {len(missing)} {key} "
+            raise KeyError(f"attach_by_id: {len(missing)} {key} "
                            f"values missing from lookup, e.g. "
                            f"{missing[:3]}")
         out = data[row_cols].copy()

@@ -113,4 +113,8 @@ def test_query_priority_ordering(entrymod):
                                "knn_points_pruned",
                                # rows-only; hard signal = its in-query
                                # brute-force completeness oracle
-                               "image_phash_near_dups"}
+                               "image_phash_near_dups",
+                               # same join + oracle as poly_join_pairs;
+                               # salting driver-verified rounds 2-3 and
+                               # held by salting-invariance tests
+                               "poly_join_pairs_salted"}
