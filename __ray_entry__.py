@@ -360,6 +360,16 @@ def _q_raster_regions_points(sf_dir: str):
     return raster_regions(tiles, _tile_grid(), thr)
 
 
+def _q_tile_cover_polygons(sf_dir: str):
+    """EXACT tile cover of the part octagons: tiles whose rectangle
+    intersects the polygon itself (a strict subset of the MBR cover
+    tile_cover_boxes checks) — zero-shuffle refine_mask over per-batch
+    tile+geometry SoAs."""
+    from hecatoncheir_ray.pipelines.tiling import tile_cover_exact
+    return tile_cover_exact(derive.ray_octagons_part(sf_dir),
+                            _tile_grid(), _cfg())
+
+
 def _q_zonal_stats(sf_dir: str):
     """Zonal statistics (raster x vector): per orders-octagon zone,
     aggregate the point-density raster tiles its polygon intersects —
@@ -897,12 +907,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "poly_measures": _q_poly_measures,
         "range_count_polygons": _q_range_count_polygons,
         "knn_join_points": _q_knn_join_points,
-        "tile_assignment_points": _q_tile_assignment_points,
         "tile_counts_points": _q_tile_counts_points,
         "tile_pyramid_counts": _q_tile_pyramid_counts,
         "tile_cover_boxes": _q_tile_cover_boxes,
         "raster_regions_points": _q_raster_regions_points,
         "zonal_stats": _q_zonal_stats,
+        "tile_cover_polygons": _q_tile_cover_polygons,
         "image_tile_assignments": _q_image_tile_assignments,
         "image_poly_join": _q_image_poly_join,
         "image_verify": _q_image_verify,
@@ -969,6 +979,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hash-salting skew path (driver-verified bit-exact in rounds
         # 2-3; salting invariance also held by property tests)
         "poly_join_pairs_salted": _q_poly_join_pairs_salted,
+        # identity projection of the same cell expression
+        # tile_counts_points verifies (driver-verified rounds 2-3)
+        "tile_assignment_points": _q_tile_assignment_points,
     }
 
 
@@ -1256,6 +1269,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_cover_boxes": _tile_cover_sql(),
         "raster_regions_points": _raster_regions_points_sql(),
         "zonal_stats": _zonal_stats_sql(),
+        "tile_cover_polygons": _tile_cover_polys_sql(),
         "image_tile_assignments": _image_tiles_sql(),
         "image_poly_join": _image_poly_join_sql(),
         "poly_join_pairs": f"""
@@ -1409,6 +1423,87 @@ def _tile_cover_sql() -> str:
         e2 AS (SELECT id, cy,
                       unnest(generate_series(cx0, cx1)) AS cx FROM e1)
         SELECT id, cy * {p} + cx AS tile_id FROM e2"""
+
+
+def _tile_cover_polys_sql() -> str:
+    """Twin of _q_tile_cover_polygons: the MBR cell explode of
+    _tile_cover_sql (a provable candidate superset both sides — a tile
+    intersecting the octagon always overlaps its MBR) filtered by the
+    rect-vs-octagon convex intersect decomposition with string-cast
+    DOUBLE tile-corner arithmetic (identical to tile_boxes)."""
+    g = _tile_grid()
+    p = _TILE_PPD
+    gx0, gy0, cw, ch = g.minx, g.miny, g.cell_w, g.cell_h
+    pb = derive.sql_boxes_part_oct()
+    pv = derive.sql_octagon_vertices(pb, "id", derive.PART_SALT)
+
+    def rng(lo, hi, orig, step):
+        a = (f"LEAST(GREATEST(CAST(FLOOR(({lo} - ({orig!r})) / {step!r}) "
+             f"AS BIGINT), 0), {p - 1})")
+        b = (f"LEAST(GREATEST(CAST(FLOOR(({hi} - ({orig!r})) / {step!r}) "
+             f"AS BIGINT), 0), {p - 1})")
+        return a, b
+
+    cx0, cx1 = rng("minx", "maxx", g.minx, g.cell_w)
+    cy0, cy1 = rng("miny", "maxy", g.miny, g.cell_h)
+    o1 = _orient("ze.sx", "ze.sy", "ze.ex", "ze.ey", "te.sx", "te.sy")
+    o2 = _orient("ze.sx", "ze.sy", "ze.ex", "ze.ey", "te.ex", "te.ey")
+    o3 = _orient("te.sx", "te.sy", "te.ex", "te.ey", "ze.sx", "ze.sy")
+    o4 = _orient("te.sx", "te.sy", "te.ex", "te.ey", "ze.ex", "ze.ey")
+    in_oct = _orient("ze.sx", "ze.sy", "ze.ex", "ze.ey",
+                     "tb.minx", "tb.miny")
+    return f"""
+        WITH zb AS ({pb}), zv AS ({pv}),
+        ze AS (SELECT a.id, a.x AS sx, a.y AS sy, b.x AS ex, b.y AS ey
+               FROM zv a JOIN zv b ON b.id = a.id AND b.i = (a.i % 8) + 1),
+        r AS (SELECT id, {cx0} AS cx0, {cx1} AS cx1,
+                     {cy0} AS cy0, {cy1} AS cy1 FROM zb),
+        e1 AS (SELECT id, cx0, cx1,
+                      unnest(generate_series(cy0, cy1)) AS cy FROM r),
+        cand AS (SELECT id, cy * {p} +
+                        unnest(generate_series(cx0, cx1)) AS tile_id
+                 FROM e1),
+        tb AS (SELECT tile_id,
+                   CAST('{gx0!r}' AS DOUBLE)
+                     + (tile_id % {p}) * CAST('{cw!r}' AS DOUBLE) AS minx,
+                   CAST('{gy0!r}' AS DOUBLE)
+                     + (tile_id // {p}) * CAST('{ch!r}' AS DOUBLE) AS miny,
+                   CAST('{gx0!r}' AS DOUBLE)
+                     + ((tile_id % {p}) + 1) * CAST('{cw!r}' AS DOUBLE)
+                     AS maxx,
+                   CAST('{gy0!r}' AS DOUBLE)
+                     + ((tile_id // {p}) + 1) * CAST('{ch!r}' AS DOUBLE)
+                     AS maxy
+               FROM (SELECT DISTINCT tile_id FROM cand)),
+        te AS (SELECT tile_id, k.i,
+                      CASE k.i WHEN 1 THEN minx WHEN 2 THEN maxx
+                               WHEN 3 THEN maxx ELSE minx END AS sx,
+                      CASE k.i WHEN 1 THEN miny WHEN 2 THEN miny
+                               WHEN 3 THEN maxy ELSE maxy END AS sy,
+                      CASE k.i WHEN 1 THEN maxx WHEN 2 THEN maxx
+                               WHEN 3 THEN minx ELSE minx END AS ex,
+                      CASE k.i WHEN 1 THEN miny WHEN 2 THEN maxy
+                               WHEN 3 THEN maxy ELSE miny END AS ey
+               FROM tb CROSS JOIN
+               (SELECT unnest(generate_series(1, 4)) AS i) k),
+        crossed AS (SELECT c.id, c.tile_id FROM cand c
+            JOIN te ON te.tile_id = c.tile_id
+            JOIN ze ON ze.id = c.id
+            WHERE ({o1}) * ({o2}) < 0 AND ({o3}) * ({o4}) < 0
+            GROUP BY c.id, c.tile_id),
+        t_in AS (SELECT c.id, c.tile_id FROM cand c
+            JOIN tb ON tb.tile_id = c.tile_id
+            JOIN ze ON ze.id = c.id
+            GROUP BY c.id, c.tile_id
+            HAVING BOOL_AND(({in_oct}) > 0)),
+        z_in AS (SELECT c.id, c.tile_id FROM cand c
+            JOIN zv p ON p.id = c.id AND p.i = 1
+            JOIN tb ON tb.tile_id = c.tile_id
+            WHERE p.x > tb.minx AND p.x < tb.maxx
+              AND p.y > tb.miny AND p.y < tb.maxy)
+        SELECT id, tile_id FROM crossed
+        UNION SELECT id, tile_id FROM t_in
+        UNION SELECT id, tile_id FROM z_in"""
 
 
 def _zonal_stats_sql() -> str:

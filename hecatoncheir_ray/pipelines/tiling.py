@@ -57,6 +57,63 @@ def tile_cover(geoms: Dataset, grid: GridSpec) -> Dataset:
     return geoms.map_batches(cover, batch_format="pyarrow")
 
 
+def tile_cover_exact(geoms: Dataset, grid: GridSpec,
+                     cfg=None) -> Dataset:
+    """EXACT tile cover: (id, tile_id) for every tile whose RECTANGLE
+    intersects the geometry itself — not just its MBR (``tile_cover``'s
+    rule; identical for boxes, a strict subset for polygons/lines, e.g.
+    a thin diagonal polygon's MBR cover is O(n^2) tiles while its exact
+    cover is O(n)).
+
+    Zero shuffle: per geometry batch, MBR cells from ``explode_cells``
+    are refined by the engine's own ``refine_mask`` intersect kernel
+    over a local tiles+geometries SoA (the same combined-SoA trick the
+    broadcast join uses) — one vectorized call per batch, tile
+    rectangles built only for the batch's DISTINCT candidate tiles."""
+    from ..config import EngineConfig
+    from ..geometry.core import GT_BOX
+    from ..stages.assign import geoms_from_table
+    from ..stages.sweep import refine_mask
+    cfg = cfg or EngineConfig()
+    gx0, gy0 = grid.minx, grid.miny
+    cw, ch = grid.cell_w, grid.cell_h
+
+    def cover(t: pa.Table) -> pa.Table:
+        ids, gt, offs, vals, minx, miny, maxx, maxy = geoms_from_table(t)
+        rows, cells = explode_cells(grid, minx, miny, maxx, maxy)
+        if len(rows) == 0:
+            return TILE_SCHEMA.empty_table()
+        uc = np.unique(cells)
+        tx = (uc % grid.ppd).astype(np.float64)
+        ty = (uc // grid.ppd).astype(np.float64)
+        t_minx, t_miny = gx0 + tx * cw, gy0 + ty * ch
+        t_maxx, t_maxy = gx0 + (tx + 1.0) * cw, gy0 + (ty + 1.0) * ch
+        nt = len(uc)
+        tflat = np.empty(4 * nt)
+        tflat[0::4], tflat[1::4] = t_minx, t_miny
+        tflat[2::4], tflat[3::4] = t_maxx, t_maxy
+        toffs = np.arange(0, 4 * nt + 1, 4, dtype=np.int64)
+        # combined SoA: tiles occupy [0, nt), the batch's geometries
+        # follow — mirrors spatial_join_broadcast's layout
+        geo = (np.concatenate([uc, ids]),
+               np.concatenate([np.full(nt, GT_BOX, np.int8), gt]),
+               np.concatenate([toffs,
+                               offs[1:].astype(np.int64) + toffs[-1]]),
+               np.concatenate([tflat, vals]),
+               np.concatenate([t_minx, minx]),
+               np.concatenate([t_miny, miny]),
+               np.concatenate([t_maxx, maxx]),
+               np.concatenate([t_maxy, maxy]))
+        ti = np.searchsorted(uc, cells)
+        gi = rows + nt
+        keep = refine_mask(cfg, geo, gi, ti, "intersects")
+        return pa.table({"id": pa.array(ids[rows[keep]], pa.int64()),
+                         "tile_id": pa.array(cells[keep], pa.int64())},
+                        schema=TILE_SCHEMA)
+
+    return geoms.map_batches(cover, batch_format="pyarrow")
+
+
 def tile_counts_ds(assignments: Dataset, num_parts: int = 64) -> Dataset:
     """(id, tile_id) -> Dataset(tile_id, n) for non-empty tiles — the
     raster stays in the object store (feed it to :func:`raster_regions`

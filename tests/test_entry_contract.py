@@ -117,4 +117,7 @@ def test_query_priority_ordering(entrymod):
                                # same join + oracle as poly_join_pairs;
                                # salting driver-verified rounds 2-3 and
                                # held by salting-invariance tests
-                               "poly_join_pairs_salted"}
+                               "poly_join_pairs_salted",
+                               # identity projection of the cell expr
+                               # tile_counts_points verifies
+                               "tile_assignment_points"}

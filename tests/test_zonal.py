@@ -122,3 +122,30 @@ def test_zonal_partitioning_invariance(ray_session):
                         _zones_ds(zdf), GRID, cfg=cfg)
             .to_pandas().sort_values("zone_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(outs[0], outs[1], check_exact=True)
+
+
+def test_tile_cover_exact_vs_brute(ray_session):
+    """Exact cover == per-pair kernel scan; subset of the MBR cover."""
+    from hecatoncheir_ray.pipelines.tiling import (tile_cover,
+                                                   tile_cover_exact)
+    zdf = _zones_df(11, 15)
+    zds = _zones_ds(zdf)
+    cfg = EngineConfig(dataspace=(0.0, 0.0, 16.0, 16.0), ppd=16)
+    got = tile_cover_exact(zds, GRID, cfg).to_pandas()
+    got_set = set(zip(got["id"], got["tile_id"]))
+    mbr = tile_cover(zds, GRID).to_pandas()
+    mbr_set = set(zip(mbr["id"], mbr["tile_id"]))
+    assert got_set <= mbr_set
+    want = set()
+    for _, zr in zdf.iterrows():
+        for t in range(GRID.ppd * GRID.ppd):
+            tx, ty = t % GRID.ppd, t // GRID.ppd
+            box = np.array([GRID.minx + tx * GRID.cell_w,
+                            GRID.miny + ty * GRID.cell_h,
+                            GRID.minx + (tx + 1.0) * GRID.cell_w,
+                            GRID.miny + (ty + 1.0) * GRID.cell_h])
+            if eval_predicate("intersects", GT_BOX, box,
+                              GT_POLYGON, zr["ring"]):
+                want.add((int(zr["zone_id"]), t))
+    assert got_set == want
+    assert len(want) > 0
