@@ -69,14 +69,13 @@ def tile_cover_exact(geoms: Dataset, grid: GridSpec,
     are refined by the engine's own ``refine_mask`` intersect kernel
     over a local tiles+geometries SoA (the same combined-SoA trick the
     broadcast join uses) — one vectorized call per batch, tile
-    rectangles built only for the batch's DISTINCT candidate tiles."""
+    rectangles (4-vertex rings, see :func:`_tile_rect_soa`) built only
+    for the batch's DISTINCT candidate tiles."""
     from ..config import EngineConfig
-    from ..geometry.core import GT_BOX
+    from ..geometry.core import GT_POLYGON
     from ..stages.assign import geoms_from_table
     from ..stages.sweep import refine_mask
     cfg = cfg or EngineConfig()
-    gx0, gy0 = grid.minx, grid.miny
-    cw, ch = grid.cell_w, grid.cell_h
 
     def cover(t: pa.Table) -> pa.Table:
         ids, gt, offs, vals, minx, miny, maxx, maxy = geoms_from_table(t)
@@ -84,19 +83,13 @@ def tile_cover_exact(geoms: Dataset, grid: GridSpec,
         if len(rows) == 0:
             return TILE_SCHEMA.empty_table()
         uc = np.unique(cells)
-        tx = (uc % grid.ppd).astype(np.float64)
-        ty = (uc // grid.ppd).astype(np.float64)
-        t_minx, t_miny = gx0 + tx * cw, gy0 + ty * ch
-        t_maxx, t_maxy = gx0 + (tx + 1.0) * cw, gy0 + (ty + 1.0) * ch
         nt = len(uc)
-        tflat = np.empty(4 * nt)
-        tflat[0::4], tflat[1::4] = t_minx, t_miny
-        tflat[2::4], tflat[3::4] = t_maxx, t_maxy
-        toffs = np.arange(0, 4 * nt + 1, 4, dtype=np.int64)
+        (tflat, toffs, t_minx, t_miny,
+         t_maxx, t_maxy) = _tile_rect_soa(uc, grid)
         # combined SoA: tiles occupy [0, nt), the batch's geometries
         # follow — mirrors spatial_join_broadcast's layout
         geo = (np.concatenate([uc, ids]),
-               np.concatenate([np.full(nt, GT_BOX, np.int8), gt]),
+               np.concatenate([np.full(nt, GT_POLYGON, np.int8), gt]),
                np.concatenate([toffs,
                                offs[1:].astype(np.int64) + toffs[-1]]),
                np.concatenate([tflat, vals]),
@@ -274,30 +267,45 @@ def raster_regions(tile_values: Dataset, grid: GridSpec, threshold: int,
     return red.map_batches(finish, batch_format="pandas")
 
 
-def tile_boxes(tiles: Dataset, grid: GridSpec) -> Dataset:
-    """(tile_id, ...) raster rows -> geometry table of tile rectangles
-    (id = tile_id, gtype = BOX) in dataspace coordinates — the raster
-    side of a raster x vector join.  Same two-IEEE-op corner arithmetic
-    as :func:`raster_regions` (SQL-twin exact)."""
-    from ..geometry.core import GT_BOX
+def _tile_rect_soa(tid: np.ndarray, grid: GridSpec):
+    """tile ids -> (ring coords flat, offsets, minx, miny, maxx, maxy).
+
+    Rectangles are emitted as 4-vertex CCW POLYGON rings, not GT_BOX:
+    refine_mask's mega-batched intersect path covers polygon x polygon
+    (and range_query likewise converts its box windows via box_to_ring);
+    a GT_BOX x GT_POLYGON pair would fall through to the per-pair
+    Python remainder — measured 12x slower on the zonal join."""
+    tx = (tid % grid.ppd).astype(np.float64)
+    ty = (tid // grid.ppd).astype(np.float64)
     gx0, gy0 = grid.minx, grid.miny
     cw, ch = grid.cell_w, grid.cell_h
+    minx, miny = gx0 + tx * cw, gy0 + ty * ch
+    maxx, maxy = gx0 + (tx + 1.0) * cw, gy0 + (ty + 1.0) * ch
+    flat = np.empty(8 * len(tid))
+    flat[0::8], flat[1::8] = minx, miny
+    flat[2::8], flat[3::8] = maxx, miny
+    flat[4::8], flat[5::8] = maxx, maxy
+    flat[6::8], flat[7::8] = minx, maxy
+    offs = np.arange(0, 8 * len(tid) + 1, 8, dtype=np.int64)
+    return flat, offs, minx, miny, maxx, maxy
+
+
+def tile_boxes(tiles: Dataset, grid: GridSpec) -> Dataset:
+    """(tile_id, ...) raster rows -> geometry table of tile rectangles
+    (id = tile_id, 4-vertex polygon rings) in dataspace coordinates —
+    the raster side of a raster x vector join.  Same two-IEEE-op corner
+    arithmetic as :func:`raster_regions` (SQL-twin exact)."""
+    from ..geometry.core import GT_POLYGON
 
     def build(t: pa.Table) -> pa.Table:
         tid = t["tile_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        tx = (tid % grid.ppd).astype(np.float64)
-        ty = (tid // grid.ppd).astype(np.float64)
-        minx, miny = gx0 + tx * cw, gy0 + ty * ch
-        maxx, maxy = gx0 + (tx + 1.0) * cw, gy0 + (ty + 1.0) * ch
-        flat = np.empty(4 * len(tid))
-        flat[0::4], flat[1::4] = minx, miny
-        flat[2::4], flat[3::4] = maxx, maxy
-        offs = np.arange(0, 4 * len(tid) + 1, 4, dtype=np.int32)
+        flat, offs, minx, miny, maxx, maxy = _tile_rect_soa(tid, grid)
         coords = pa.ListArray.from_arrays(
-            pa.array(offs), pa.array(flat, type=pa.float64()))
+            pa.array(offs.astype(np.int32)),
+            pa.array(flat, type=pa.float64()))
         return pa.table({
             "id": pa.array(tid, type=pa.int64()),
-            "gtype": pa.array(np.full(len(tid), GT_BOX, np.int8)),
+            "gtype": pa.array(np.full(len(tid), GT_POLYGON, np.int8)),
             "coords": coords,
             "minx": pa.array(minx), "miny": pa.array(miny),
             "maxx": pa.array(maxx), "maxy": pa.array(maxy)})
