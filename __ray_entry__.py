@@ -370,6 +370,15 @@ def _q_tile_cover_polygons(sf_dir: str):
                             _tile_grid(), _cfg())
 
 
+def _q_tile_cover_lines(sf_dir: str):
+    """EXACT tile cover of the event polylines (polyline rasterization):
+    tiles whose rectangle the line actually traverses — the MBR cover
+    is quadratic in the line's diagonal span, the exact cover linear."""
+    from hecatoncheir_ray.pipelines.tiling import tile_cover_exact
+    return tile_cover_exact(derive.ray_lines_events(sf_dir),
+                            _tile_grid(), _cfg())
+
+
 def _q_zonal_stats(sf_dir: str):
     """Zonal statistics (raster x vector): per orders-octagon zone,
     aggregate the point-density raster tiles its polygon intersects —
@@ -982,6 +991,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # identity projection of the same cell expression
         # tile_counts_points verifies (driver-verified rounds 2-3)
         "tile_assignment_points": _q_tile_assignment_points,
+        # same exact-cover kernel as the driver-checked
+        # tile_cover_polygons, over the line layer
+        "tile_cover_lines": _q_tile_cover_lines,
     }
 
 
@@ -1270,6 +1282,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_regions_points": _raster_regions_points_sql(),
         "zonal_stats": _zonal_stats_sql(),
         "tile_cover_polygons": _tile_cover_polys_sql(),
+        "tile_cover_lines": _tile_cover_lines_sql(),
         "image_tile_assignments": _image_tiles_sql(),
         "image_poly_join": _image_poly_join_sql(),
         "poly_join_pairs": f"""
@@ -1504,6 +1517,80 @@ def _tile_cover_polys_sql() -> str:
         SELECT id, tile_id FROM crossed
         UNION SELECT id, tile_id FROM t_in
         UNION SELECT id, tile_id FROM z_in"""
+
+
+def _tile_cover_lines_sql() -> str:
+    """Twin of _q_tile_cover_lines: MBR cell explode over the line MBRs
+    (candidate superset both sides), kept iff a segment properly
+    crosses a tile edge OR line vertex 1 is strictly inside the tile —
+    the line_mix completeness argument (any other inside vertex forces
+    a boundary crossing in generic position)."""
+    g = _tile_grid()
+    p = _TILE_PPD
+    gx0, gy0, cw, ch = g.minx, g.miny, g.cell_w, g.cell_h
+    lv = derive.sql_line_vertices()
+
+    def rng(lo, hi, orig, step):
+        a = (f"LEAST(GREATEST(CAST(FLOOR(({lo} - ({orig!r})) / {step!r}) "
+             f"AS BIGINT), 0), {p - 1})")
+        b = (f"LEAST(GREATEST(CAST(FLOOR(({hi} - ({orig!r})) / {step!r}) "
+             f"AS BIGINT), 0), {p - 1})")
+        return a, b
+
+    cx0, cx1 = rng("minx", "maxx", g.minx, g.cell_w)
+    cy0, cy1 = rng("miny", "maxy", g.miny, g.cell_h)
+    o1 = _orient("le.sx", "le.sy", "le.ex", "le.ey", "te.sx", "te.sy")
+    o2 = _orient("le.sx", "le.sy", "le.ex", "le.ey", "te.ex", "te.ey")
+    o3 = _orient("te.sx", "te.sy", "te.ex", "te.ey", "le.sx", "le.sy")
+    o4 = _orient("te.sx", "te.sy", "te.ex", "te.ey", "le.ex", "le.ey")
+    return f"""
+        WITH lv AS ({lv}),
+        lm AS (SELECT id, MIN(x) AS minx, MIN(y) AS miny,
+                      MAX(x) AS maxx, MAX(y) AS maxy FROM lv GROUP BY id),
+        le AS (SELECT a.id, a.x AS sx, a.y AS sy, b.x AS ex, b.y AS ey
+               FROM lv a JOIN lv b ON b.id = a.id AND b.i = a.i + 1),
+        r AS (SELECT id, {cx0} AS cx0, {cx1} AS cx1,
+                     {cy0} AS cy0, {cy1} AS cy1 FROM lm),
+        e1 AS (SELECT id, cx0, cx1,
+                      unnest(generate_series(cy0, cy1)) AS cy FROM r),
+        cand AS (SELECT id, cy * {p} +
+                        unnest(generate_series(cx0, cx1)) AS tile_id
+                 FROM e1),
+        tb AS (SELECT tile_id,
+                   CAST('{gx0!r}' AS DOUBLE)
+                     + (tile_id % {p}) * CAST('{cw!r}' AS DOUBLE) AS minx,
+                   CAST('{gy0!r}' AS DOUBLE)
+                     + (tile_id // {p}) * CAST('{ch!r}' AS DOUBLE) AS miny,
+                   CAST('{gx0!r}' AS DOUBLE)
+                     + ((tile_id % {p}) + 1) * CAST('{cw!r}' AS DOUBLE)
+                     AS maxx,
+                   CAST('{gy0!r}' AS DOUBLE)
+                     + ((tile_id // {p}) + 1) * CAST('{ch!r}' AS DOUBLE)
+                     AS maxy
+               FROM (SELECT DISTINCT tile_id FROM cand)),
+        te AS (SELECT tile_id, k.i,
+                      CASE k.i WHEN 1 THEN minx WHEN 2 THEN maxx
+                               WHEN 3 THEN maxx ELSE minx END AS sx,
+                      CASE k.i WHEN 1 THEN miny WHEN 2 THEN miny
+                               WHEN 3 THEN maxy ELSE maxy END AS sy,
+                      CASE k.i WHEN 1 THEN maxx WHEN 2 THEN maxx
+                               WHEN 3 THEN minx ELSE minx END AS ex,
+                      CASE k.i WHEN 1 THEN miny WHEN 2 THEN maxy
+                               WHEN 3 THEN maxy ELSE miny END AS ey
+               FROM tb CROSS JOIN
+               (SELECT unnest(generate_series(1, 4)) AS i) k),
+        crossed AS (SELECT c.id, c.tile_id FROM cand c
+            JOIN te ON te.tile_id = c.tile_id
+            JOIN le ON le.id = c.id
+            WHERE ({o1}) * ({o2}) < 0 AND ({o3}) * ({o4}) < 0
+            GROUP BY c.id, c.tile_id),
+        v1_in AS (SELECT c.id, c.tile_id FROM cand c
+            JOIN lv p ON p.id = c.id AND p.i = 1
+            JOIN tb ON tb.tile_id = c.tile_id
+            WHERE p.x > tb.minx AND p.x < tb.maxx
+              AND p.y > tb.miny AND p.y < tb.maxy)
+        SELECT id, tile_id FROM crossed
+        UNION SELECT id, tile_id FROM v1_in"""
 
 
 def _zonal_stats_sql() -> str:

@@ -120,4 +120,7 @@ def test_query_priority_ordering(entrymod):
                                "poly_join_pairs_salted",
                                # identity projection of the cell expr
                                # tile_counts_points verifies
-                               "tile_assignment_points"}
+                               "tile_assignment_points",
+                               # same exact-cover kernel as the
+                               # driver-checked tile_cover_polygons
+                               "tile_cover_lines"}
