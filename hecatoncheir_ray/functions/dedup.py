@@ -698,66 +698,25 @@ def simhash_near_dups(docs: Dataset, max_hamming: int = 3,
     colliding band (the sig rides cheaply, so exactly-once needs no
     extra pair shuffle).  token_hash='md5' makes the whole pipeline
     bit-identical to ``simhash_near_dups_sql`` (the candidate set is
-    exhaustive by pigeonhole, so SQL's brute-force pair scan matches)."""
+    exhaustive by pigeonhole, so SQL's brute-force pair scan matches).
 
-    def sig_rows(df: pd.DataFrame) -> pd.DataFrame:
-        texts = df["text"].fillna("").tolist()
-        hs = simhash64_batch(texts, token_hash)
-        dids = df["doc_id"].to_numpy().astype(np.int64)
-        n = len(dids)
-        band = np.tile(np.arange(4, dtype=np.int16), n)
-        did4 = np.repeat(dids, 4)
-        sig4 = np.repeat(hs.astype(np.uint64), 4)
-        key = ((sig4 >> (np.uint64(16) * band.astype(np.uint64)))
-               & np.uint64(0xFFFF)).astype(np.int32)
-        bid = band.astype(np.uint64) * np.uint64(65536) \
-            + key.astype(np.uint64)
+    All of the above now lives in :func:`hamming_near_dup_pairs` (the
+    fingerprint-agnostic generalization, 4 bands x 16-bit here); this
+    function just computes the simhash column and delegates — same
+    bucket identities, partition keys, and emission rule, so the pair
+    set is unchanged."""
+
+    def sig_col(df: pd.DataFrame) -> pd.DataFrame:
+        hs = simhash64_batch(df["text"].fillna("").tolist(), token_hash)
         return pd.DataFrame({
-            "band": band, "key": key, "doc_id": did4,
-            "sig": sig4.view(np.int64),
-            "part": (_mix(bid) % np.uint64(num_parts)).astype(np.int64)})
+            "doc_id": df["doc_id"].to_numpy().astype(np.int64),
+            "sh": hs.astype(np.uint64).view(np.int64)})
 
-    def verify_kernel(g: pd.DataFrame) -> pd.DataFrame:
-        band = g["band"].to_numpy()
-        key = g["key"].to_numpy()
-        did = g["doc_id"].to_numpy().astype(np.int64)
-        sig = g["sig"].to_numpy().view(np.uint64)
-        order = np.lexsort((did, key, band))
-        band, key, did, sig = (band[order], key[order], did[order],
-                               sig[order])
-        new = np.concatenate([[True], (band[1:] != band[:-1])
-                              | (key[1:] != key[:-1])])
-        starts = np.flatnonzero(new)
-        ends = np.concatenate([starts[1:], [len(did)]])
-        out_a, out_b = [], []
-        for a, e in zip(starts.tolist(), ends.tolist()):
-            n = e - a
-            if n < 2:
-                continue
-            ids = did[a:e]
-            sg = sig[a:e]
-            b = int(band[a])
-            iu, ju = np.triu_indices(n, 1)
-            if b > 0:
-                sh = (sg[:, None] >> (np.uint64(16)
-                                      * np.arange(b, dtype=np.uint64)
-                                      [None, :])) & np.uint64(0xFFFF)
-                dup = (sh[iu] == sh[ju]).any(axis=1)
-                iu, ju = iu[~dup], ju[~dup]
-                if len(iu) == 0:
-                    continue
-            ok = hamming64(sg[iu], sg[ju]) <= max_hamming
-            out_a.append(ids[iu[ok]])
-            out_b.append(ids[ju[ok]])
-        if not out_a:
-            return _EMPTY_PAIRS.copy()
-        return pd.DataFrame({"doc_id_a": np.concatenate(out_a),
-                             "doc_id_b": np.concatenate(out_b)})
-
-    pairs = docs.select_columns(["doc_id", "text"]) \
-        .map_batches(sig_rows, batch_format="pandas") \
-        .groupby("part").map_groups(verify_kernel, batch_format="pandas")
-    return _sorted_pairs_df(pairs)
+    kv = docs.select_columns(["doc_id", "text"]) \
+        .map_batches(sig_col, batch_format="pandas")
+    return hamming_near_dup_pairs(kv, "doc_id", "sh",
+                                  max_hamming=max_hamming, num_bands=4,
+                                  num_parts=num_parts)
 
 
 def simhash_near_dups_sql(max_hamming: int = 3) -> str:

@@ -208,6 +208,20 @@ def ahash64(pixels: np.ndarray) -> int:
     return int(val.astype(np.int64))
 
 
+def _dhash_sample_uv():
+    """The 64 fixed relative sample positions (u, v) — module-level
+    constants so the per-image hot loop never recomputes them."""
+    from .synth import _splitmix64
+    k = np.arange(64, dtype=np.uint64)
+    u = (_splitmix64(k + np.uint64(101)) >> np.uint64(11)) / float(1 << 53)
+    v = (_splitmix64(k + np.uint64(202)) >> np.uint64(11)) / float(1 << 53)
+    return u, v
+
+
+_DHASH_U, _DHASH_V = _dhash_sample_uv()
+_DHASH_WEIGHTS = (np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64))
+
+
 def dhash64_sampled(pixels: np.ndarray) -> int:
     """Noise-sensitive perceptual hash: 64 adjacent-pixel comparisons at
     hash-fixed relative positions -> signed int64.
@@ -223,16 +237,11 @@ def dhash64_sampled(pixels: np.ndarray) -> int:
     compare the same sample set."""
     h, w, _ = pixels.shape
     gray = pixels.astype(np.int32).sum(axis=2)
-    from .synth import _splitmix64
-    k = np.arange(64, dtype=np.uint64)
-    u = (_splitmix64(k + np.uint64(101)) >> np.uint64(11)) / float(1 << 53)
-    v = (_splitmix64(k + np.uint64(202)) >> np.uint64(11)) / float(1 << 53)
-    xs = np.minimum((u * (w - 1)).astype(np.int64), w - 2)
-    ys = np.minimum((v * h).astype(np.int64), h - 1)
+    xs = np.minimum((_DHASH_U * (w - 1)).astype(np.int64), w - 2)
+    ys = np.minimum((_DHASH_V * h).astype(np.int64), h - 1)
     bits = (gray[ys, xs] > gray[ys, xs + 1]).astype(np.uint64)
-    val = np.uint64(0)
-    for b in bits:
-        val = (val << np.uint64(1)) | b
+    # dot with descending bit weights == the former shift-or loop
+    val = np.bitwise_or.reduce(bits * _DHASH_WEIGHTS)
     return int(val.astype(np.int64))
 
 
