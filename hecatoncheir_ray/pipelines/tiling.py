@@ -314,7 +314,8 @@ def tile_boxes(tiles: Dataset, grid: GridSpec) -> Dataset:
 
 
 def zonal_stats(tiles: Dataset, zones: Dataset, grid: GridSpec,
-                predicate: str = "intersects", cfg=None) -> Dataset:
+                predicate: str = "intersects", cfg=None,
+                broadcast: bool = True) -> Dataset:
     """Zonal statistics (the canonical raster x vector analysis): per
     zone polygon, aggregate the raster tiles whose rectangle satisfies
     ``predicate`` against the zone -> (zone_id, tile_count, total_n,
@@ -327,15 +328,23 @@ def zonal_stats(tiles: Dataset, zones: Dataset, grid: GridSpec,
     values ride a reduce-side attach join, and the per-zone reduce is
     one `hash_group_reduce`.  Exact geometry (MBR filter + convex
     refinement), not rasterized-zone approximation; everything after
-    the raster build is tile-cardinality."""
+    the raster build is tile-cardinality.
+
+    ``broadcast=False`` routes pair discovery through the grid-shuffle
+    :func:`spatial_join` instead — the path for a zone layer too large
+    for worker memory (identical pair set; parity tested)."""
     import pandas as pd
 
     from ..functions.idjoin import attach_i64_by_id, hash_group_reduce
-    from .spatial_join import spatial_join_broadcast
+    from .spatial_join import spatial_join, spatial_join_broadcast
 
     tiles = tiles.materialize()       # consumed twice: boxes + lookup
-    pairs = spatial_join_broadcast(tile_boxes(tiles, grid), zones,
-                                   predicate, cfg)
+    if broadcast:
+        pairs = spatial_join_broadcast(tile_boxes(tiles, grid), zones,
+                                       predicate, cfg)
+    else:
+        pairs = spatial_join(tile_boxes(tiles, grid), zones,
+                             predicate, cfg)
     att = attach_i64_by_id(pairs, "r_id", tiles, "tile_id", "n", "n")
     red = hash_group_reduce(att, ["s_id"], {
         "tile_count": ("n", "count"), "total_n": ("n", "sum"),

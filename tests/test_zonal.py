@@ -149,3 +149,20 @@ def test_tile_cover_exact_vs_brute(ray_session):
                 want.add((int(zr["zone_id"]), t))
     assert got_set == want
     assert len(want) > 0
+
+
+def test_zonal_broadcast_vs_shuffle_parity(ray_session):
+    """broadcast=False (grid-shuffle join) must produce the identical
+    per-zone table — the path for zone layers too large to broadcast."""
+    import ray.data as rd
+    tiles = _tiles_df(3, 0.5)
+    zdf = _zones_df(4, 12)
+    cfg = EngineConfig(dataspace=(0.0, 0.0, 16.0, 16.0), ppd=16)
+    outs = []
+    for bc in (True, False):
+        outs.append(
+            zonal_stats(rd.from_pandas(tiles).repartition(4),
+                        _zones_ds(zdf), GRID, cfg=cfg, broadcast=bc)
+            .to_pandas().sort_values("zone_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1], check_exact=True)
+    assert len(outs[0]) > 0
