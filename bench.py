@@ -577,6 +577,64 @@ def run_multimodal() -> dict:
             "num_cpus": NUM_CPUS}
 
 
+def run_raster() -> dict:
+    """Raster <-> vector throughput at SF_DIR scale: density raster
+    build (tile_counts_ds), polygonize (raster_regions), zonal stats
+    over the orders octagons (broadcast + shuffle paths), exact tile
+    cover of the part octagons and event polylines."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    from hecatoncheir_ray.config import EngineConfig, GridSpec
+    from hecatoncheir_ray.config import TIGER_US_BOUNDS
+    from hecatoncheir_ray.pipelines.tiling import (raster_regions,
+                                                   tile_assignments,
+                                                   tile_cover_exact,
+                                                   tile_counts_ds,
+                                                   zonal_stats)
+    from hecatoncheir_ray.sources import derive
+
+    grid = GridSpec(*TIGER_US_BOUNDS, ppd=64)   # 4096 tiles at sf0.1
+    cfg = EngineConfig(dataspace=TIGER_US_BOUNDS, ppd=64)
+    n_pts = _table_rows("events")
+    stages = {}
+
+    def timed(name, build, rows=None):
+        t0 = time.time()
+        n = build().count()
+        dt = time.time() - t0
+        r = rows if rows is not None else n
+        stages[name] = {"result_rows": n, "sec": round(dt, 3),
+                        "rows_per_sec": round(r / dt, 1)}
+
+    tiles = tile_counts_ds(
+        tile_assignments(derive.ray_points_events(SF_DIR), grid))
+    timed("tile_counts_raster", lambda: tiles, rows=n_pts)
+    tiles = tiles.materialize()
+    thr = 1 + n_pts // (grid.ppd * grid.ppd)
+    timed("raster_regions", lambda: raster_regions(tiles, grid, thr),
+          rows=n_pts)
+    zones = derive.ray_octagons_orders(SF_DIR)
+    timed("zonal_stats_broadcast",
+          lambda: zonal_stats(tiles, zones, grid, cfg=cfg))
+    timed("zonal_stats_shuffle",
+          lambda: zonal_stats(tiles, zones, grid, cfg=cfg,
+                              broadcast=False))
+    timed("tile_cover_exact_polygons",
+          lambda: tile_cover_exact(derive.ray_octagons_part(SF_DIR),
+                                   grid, cfg))
+    timed("tile_cover_exact_lines",
+          lambda: tile_cover_exact(derive.ray_lines_events(SF_DIR),
+                                   grid, cfg))
+    ray.shutdown()
+    return {"metric": "raster_vector_throughput", "stages": stages,
+            "points": n_pts, "ppd": grid.ppd,
+            "sf": SF_DIR, "num_cpus": NUM_CPUS}
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
@@ -594,5 +652,7 @@ if __name__ == "__main__":
         print(json.dumps(run_minhash()))
     elif "--multimodal" in sys.argv:
         print(json.dumps(run_multimodal()))
+    elif "--raster" in sys.argv:
+        print(json.dumps(run_raster()))
     else:
         print(json.dumps(run_bench()))

@@ -157,3 +157,17 @@ def test_full_lattice_one_region(ray_session):
     assert r["tile_count"] == n_cells
     assert r["minx"] == GRID.minx and r["maxy"] == GRID.maxy
     assert r["maxx"] == GRID.minx + (float(GRID.ppd - 1) + 1.0) * GRID.cell_w
+
+
+def test_star_path_parity(ray_session):
+    """single_task_max_tiles=0 forces the alternating-star CC path —
+    identical regions to the default single-task labeling."""
+    import ray.data as rd
+    tiles = _rand_tiles(13, 0.55)
+    ds = rd.from_pandas(tiles).repartition(8)
+    a = raster_regions(ds, GRID, 2, num_parts=16) \
+        .to_pandas().sort_values("region_id").reset_index(drop=True)
+    b = raster_regions(ds, GRID, 2, num_parts=16,
+                       single_task_max_tiles=0) \
+        .to_pandas().sort_values("region_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
