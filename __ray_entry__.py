@@ -341,6 +341,26 @@ def _q_tile_cover_boxes(sf_dir: str):
     return tile_cover(derive.ray_boxes_part(sf_dir), _tile_grid())
 
 
+def _q_hex_regions_points(sf_dir: str):
+    """Hex-lattice polygonize (the H3-side counterpart of
+    raster_regions): 6-connected above-threshold hex cells -> vector
+    regions with center-bbox.  Threshold derives from the same COUNT(*)
+    in the SQL twin."""
+    import ray.data as rd
+
+    from hecatoncheir_ray.pipelines.hexgrid import (hex_assignments,
+                                                    hex_counts,
+                                                    hex_regions)
+    n = rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_id"]).count()
+    # 2 at sf0.001 (24 regions), 5 at sf0.01 (17 regions incl. a
+    # 1072-cell percolating component) — real CC work on both fixtures
+    thr = 2 + n // 3300
+    cells = hex_counts(
+        hex_assignments(derive.ray_points_events(sf_dir), _HEX_SIZE))
+    return hex_regions(cells, _HEX_SIZE, thr)
+
+
 def _q_raster_regions_points(sf_dir: str):
     """Raster -> VECTOR (the reverse tiling direction of the north
     rule's "raster<->vector tiling"): density raster over the point
@@ -994,6 +1014,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # same exact-cover kernel as the driver-checked
         # tile_cover_polygons, over the line layer
         "tile_cover_lines": _q_tile_cover_lines,
+        # same polygonize machinery as the driver-checked
+        # raster_regions_points, on the hex lattice
+        "hex_regions_points": _q_hex_regions_points,
     }
 
 
@@ -1283,6 +1306,7 @@ def oracle_sql() -> dict[str, str]:
         "zonal_stats": _zonal_stats_sql(),
         "tile_cover_polygons": _tile_cover_polys_sql(),
         "tile_cover_lines": _tile_cover_lines_sql(),
+        "hex_regions_points": _hex_regions_points_sql(),
         "image_tile_assignments": _image_tiles_sql(),
         "image_poly_join": _image_poly_join_sql(),
         "poly_join_pairs": f"""
@@ -1670,6 +1694,16 @@ def _zonal_stats_sql() -> str:
                MIN(tb.n) AS min_n, MAX(tb.n) AS max_n
         FROM pairs pr JOIN tb ON tb.tile_id = pr.tile_id
         GROUP BY 1"""
+
+
+def _hex_regions_points_sql() -> str:
+    from hecatoncheir_ray.pipelines.hexgrid import hex_regions_sql
+    pts = derive.sql_points_events()
+    cells = (f"WITH p AS ({pts}) "
+             f"SELECT {_hex_sql()} AS hex_id, COUNT(*) AS n FROM p "
+             f"GROUP BY 1")
+    thr = f"2 + (SELECT COUNT(*) FROM ({pts})) // 3300"
+    return hex_regions_sql(cells, _HEX_SIZE, thr)
 
 
 def _raster_regions_points_sql() -> str:

@@ -119,6 +119,153 @@ def hex_counts(assignments: Dataset) -> Dataset:
         ["hex_id"], {"n": ("n", "sum")}, num_parts=64)
 
 
+def hex_regions(hex_values: Dataset, size: float, threshold: int,
+                num_parts: int = 64,
+                single_task_max_cells: int = 1 << 22) -> Dataset:
+    """Hex-lattice polygonize: 6-connected components of above-threshold
+    hex cells -> (region_id, cell_count, total_n, minx, miny, maxx,
+    maxy), region_id = the component's minimum hex_id and the bbox over
+    CELL CENTERS (exact inverse projection, IEEE-twinned).
+
+    The hexagonal counterpart of :func:`..tiling.raster_regions`, same
+    machinery (semi-joined neighbor edges, adaptive single-task
+    union-find / alternating-star labeling, per-batch partials + one
+    hash_group_reduce), but the 6-neighbor deltas are pure id
+    arithmetic (+-SPAN, +-1, +-(SPAN-1)) — the axial lattice is
+    unbounded, so no edge clamping exists at all."""
+    import pandas as pd
+    import ray.data
+
+    from ..functions.dedup import connected_components
+    from ..functions.idjoin import filter_by_ids, hash_group_reduce
+    from .tiling import _label_components_kernel
+
+    def kept_rows(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["n"].to_numpy() >= threshold
+        return pd.DataFrame(
+            {"hex_id": df["hex_id"].to_numpy()[m].astype(np.int64),
+             "n": df["n"].to_numpy()[m].astype(np.int64)})
+
+    kept = hex_values.map_batches(kept_rows,
+                                  batch_format="pandas").materialize()
+    n_kept = kept.count()
+    if n_kept == 0:
+        return ray.data.from_pandas(pd.DataFrame({
+            "region_id": pd.Series([], dtype=np.int64),
+            "cell_count": pd.Series([], dtype=np.int64),
+            "total_n": pd.Series([], dtype=np.int64),
+            "minx": pd.Series([], dtype=np.float64),
+            "miny": pd.Series([], dtype=np.float64),
+            "maxx": pd.Series([], dtype=np.float64),
+            "maxy": pd.Series([], dtype=np.float64)}))
+
+    def cand_edges(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["hex_id"].to_numpy().astype(np.int64)
+        # 3 directed deltas; CC symmetrizes (the other 3 are reverses)
+        return pd.DataFrame({
+            "u": np.concatenate([h, h, h]),
+            "v": np.concatenate([h + _SPAN, h + 1, h + (_SPAN - 1)])})
+
+    edges = filter_by_ids(
+        kept.map_batches(cand_edges, batch_format="pandas"),
+        "v", kept, "hex_id", keep=True, num_parts=num_parts)
+    if n_kept <= single_task_max_cells:
+        stars = edges \
+            .map_batches(lambda df: df.assign(_p=np.int64(0)),
+                         batch_format="pandas") \
+            .groupby("_p").map_groups(_label_components_kernel,
+                                      batch_format="pandas")
+    else:
+        stars = connected_components(edges, num_parts=num_parts)
+
+    def ident(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["hex_id"].to_numpy().astype(np.int64)
+        return pd.DataFrame({"u": h, "v": h,
+                             "n": df["n"].to_numpy().astype(np.int64)})
+
+    def zero_n(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"u": df["u"].to_numpy().astype(np.int64),
+                             "v": df["v"].to_numpy().astype(np.int64),
+                             "n": np.zeros(len(df), dtype=np.int64)})
+
+    labels = hash_group_reduce(
+        kept.map_batches(ident, batch_format="pandas")
+            .union(stars.map_batches(zero_n, batch_format="pandas")),
+        ["u"], {"region_id": ("v", "min"), "nn": ("n", "sum")},
+        num_parts=num_parts)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["u"].to_numpy().astype(np.int64)
+        q = h // _SPAN - _OFF
+        r = h % _SPAN - _OFF
+        cx, cy = hex_center(q, r, size)
+        g = pd.DataFrame(
+            {"region_id": df["region_id"].to_numpy().astype(np.int64),
+             "cell_count": np.ones(len(df), dtype=np.int64),
+             "total_n": df["nn"].to_numpy().astype(np.int64),
+             "x0": cx, "x1": cx, "y0": cy, "y1": cy})
+        return g.groupby("region_id", as_index=False).agg(
+            cell_count=("cell_count", "sum"), total_n=("total_n", "sum"),
+            x0=("x0", "min"), x1=("x1", "max"),
+            y0=("y0", "min"), y1=("y1", "max"))
+
+    red = hash_group_reduce(
+        labels.map_batches(partial, batch_format="pandas"),
+        ["region_id"],
+        {"cell_count": ("cell_count", "sum"),
+         "total_n": ("total_n", "sum"),
+         "x0": ("x0", "min"), "x1": ("x1", "max"),
+         "y0": ("y0", "min"), "y1": ("y1", "max")},
+        num_parts=num_parts)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "region_id": df["region_id"].to_numpy().astype(np.int64),
+            "cell_count": df["cell_count"].to_numpy().astype(np.int64),
+            "total_n": df["total_n"].to_numpy().astype(np.int64),
+            "minx": df["x0"].to_numpy().astype(np.float64),
+            "miny": df["y0"].to_numpy().astype(np.float64),
+            "maxx": df["x1"].to_numpy().astype(np.float64),
+            "maxy": df["y1"].to_numpy().astype(np.float64)})
+
+    return red.map_batches(finish, batch_format="pandas")
+
+
+def hex_regions_sql(cells_sql: str, size: float, threshold) -> str:
+    """DuckDB twin of :func:`hex_regions` over ``cells_sql`` (columns
+    hex_id, n): recursive reachability over the six id-arithmetic
+    neighbor deltas, min-label per component, center-bbox via the SAME
+    inverse-projection expression (string-cast DOUBLE constants — bare
+    decimal literals go through DECIMAL and land 1 ulp off strtod)."""
+    k1 = size * (3.0 ** 0.5)
+    k2 = size * 1.5
+    deltas = [_SPAN, -_SPAN, 1, -1, _SPAN - 1, -(_SPAN - 1)]
+    edge_sel = "\n            UNION ALL\n            ".join(
+        f"SELECT a.hex_id AS u, b.hex_id AS v FROM kept a "
+        f"JOIN kept b ON b.hex_id = a.hex_id + ({d})" for d in deltas)
+    cx = (f"CAST('{k1!r}' AS DOUBLE) * ((k.hex_id // {_SPAN} - {_OFF}) "
+          f"+ CAST(k.hex_id % {_SPAN} - {_OFF} AS DOUBLE) / 2.0)")
+    cy = f"CAST('{k2!r}' AS DOUBLE) * (k.hex_id % {_SPAN} - {_OFF})"
+    return f"""
+        WITH RECURSIVE kept AS (
+            SELECT hex_id, n FROM ({cells_sql}) WHERE n >= {threshold}),
+        edges AS (
+            {edge_sel}),
+        reach AS (SELECT hex_id AS u, hex_id AS v FROM kept
+                  UNION
+                  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v),
+        labels AS (SELECT u AS hex_id, MIN(v) AS region_id
+                   FROM reach GROUP BY 1)
+        SELECT l.region_id AS region_id,
+               COUNT(*) AS cell_count,
+               CAST(SUM(k.n) AS BIGINT) AS total_n,
+               MIN({cx}) AS minx, MIN({cy}) AS miny,
+               MAX({cx}) AS maxx, MAX({cy}) AS maxy
+        FROM labels l JOIN kept k ON k.hex_id = l.hex_id
+        GROUP BY 1
+    """
+
+
 def hex_sql(x: str, y: str, size: float) -> str:
     """The DuckDB twin of hex_axial + hex_id — identical IEEE op order,
     identical ``floor(v + 0.5)`` rounding, integer-exact packing."""

@@ -182,7 +182,7 @@ def spatial_join(r: Dataset, s: Dataset, predicate: str = "intersects",
 def spatial_join_broadcast(r: Dataset, s: Dataset,
                            predicate: str = "intersects",
                            cfg: EngineConfig | None = None,
-                           concurrency: int = 4) -> Dataset:
+                           concurrency: int = 32) -> Dataset:
     """Zero-shuffle predicate join for a SMALL S side (broadcast join).
 
     The scale rationale: when one side (typically the polygon layer — a

@@ -123,4 +123,7 @@ def test_query_priority_ordering(entrymod):
                                "tile_assignment_points",
                                # same exact-cover kernel as the
                                # driver-checked tile_cover_polygons
-                               "tile_cover_lines"}
+                               "tile_cover_lines",
+                               # same polygonize machinery as the
+                               # driver-checked raster_regions_points
+                               "hex_regions_points"}
