@@ -413,6 +413,42 @@ def _q_zonal_stats(sf_dir: str):
                        _tile_grid(), "intersects", _cfg())
 
 
+def _q_zonal_area_weights(sf_dir: str):
+    """Area-weighted coverage (areal interpolation): exact area of
+    zone-octagon ∩ tile per overlapped tile, pair-vectorized
+    Sutherland-Hodgman.  Rows-only — the clipped areas are not
+    SQL-expressible — so the partition-of-unity self-oracle rides
+    in-query: per zone, the tile areas MUST sum to the polygon's
+    shoelace area (tiles tile the plane); any violation raises."""
+    from hecatoncheir_ray.geometry.measures import measures_dataset
+    from hecatoncheir_ray.pipelines.tiling import zonal_area_weights
+    zones = derive.ray_octagons_orders(sf_dir).materialize()
+    g = _tile_grid()
+    out = zonal_area_weights(zones, g)
+    sums = out.to_pandas().groupby("zone_id")["area"].sum()
+    zm = zones.select_columns(["id", "minx", "miny", "maxx", "maxy"]) \
+        .to_pandas().set_index("id")
+    truth = measures_dataset(zones).to_pandas().set_index("id")["area"]
+    if len(sums) != len(truth):
+        raise AssertionError(
+            f"{len(truth) - len(sums)} zones lost all tile coverage")
+    s = sums.reindex(truth.index).fillna(0.0)
+    tol = 1e-9 * truth.clip(lower=1.0)
+    # zones inside the grid: tile areas MUST sum to the shoelace area
+    # (tiles tile the dataspace); boundary-straddling zones only bound
+    # from above — the grid cannot cover area outside the dataspace
+    interior = ((zm["minx"] >= g.minx) & (zm["miny"] >= g.miny)
+                & (zm["maxx"] <= g.maxx) & (zm["maxy"] <= g.maxy))
+    bad_eq = interior & ((s - truth).abs() > tol)
+    bad_le = ~interior & (s > truth + tol)
+    if bad_eq.any() or bad_le.any() or not interior.any():
+        raise AssertionError(
+            f"partition-of-unity violated: {int(bad_eq.sum())} interior "
+            f"zones mismatch, {int(bad_le.sum())} boundary zones "
+            f"over-covered (interior zones: {int(interior.sum())})")
+    return out
+
+
 def _q_tile_pyramid_counts(sf_dir: str):
     """Hierarchical quadkey pyramid (H3/S2-style Z-order index): per-tile
     point counts at every zoom 0..8 in one pass + one shuffle."""
@@ -1017,6 +1053,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # same polygonize machinery as the driver-checked
         # raster_regions_points, on the hex lattice
         "hex_regions_points": _q_hex_regions_points,
+        # rows-only; hard signal = the in-query partition-of-unity
+        # oracle (tile areas must sum to the shoelace area per zone)
+        "zonal_area_weights": _q_zonal_area_weights,
     }
 
 

@@ -126,4 +126,7 @@ def test_query_priority_ordering(entrymod):
                                "tile_cover_lines",
                                # same polygonize machinery as the
                                # driver-checked raster_regions_points
-                               "hex_regions_points"}
+                               "hex_regions_points",
+                               # rows-only; in-query partition-of-unity
+                               # oracle + tests/test_zonal_area.py
+                               "zonal_area_weights"}

@@ -1,0 +1,91 @@
+"""zonal_area_weights: exact polygon ∩ tile areas via pair-vectorized
+Sutherland-Hodgman — vs a scalar reference clipper, the
+partition-of-unity invariant (tile areas sum to the shoelace area),
+and partitioning invariance.
+"""
+
+import numpy as np
+import pandas as pd
+
+from hecatoncheir_ray.config import GridSpec
+from hecatoncheir_ray.pipelines.tiling import zonal_area_weights
+
+from tests.test_zonal import _zones_df, _zones_ds
+
+GRID = GridSpec(0.0, 0.0, 16.0, 16.0, ppd=16)
+
+
+def _clip_scalar(ring, x0, y0, x1, y1):
+    """Textbook scalar Sutherland-Hodgman, the independent reference."""
+    pts = list(zip(ring[0::2], ring[1::2]))
+    for axis, bound, keep_ge in ((0, x0, True), (0, x1, False),
+                                 (1, y0, True), (1, y1, False)):
+        out = []
+        for i in range(len(pts)):
+            cur, nxt = pts[i], pts[(i + 1) % len(pts)]
+            ic = cur[axis] >= bound if keep_ge else cur[axis] <= bound
+            inn = nxt[axis] >= bound if keep_ge else nxt[axis] <= bound
+            if ic != inn:
+                t = (bound - cur[axis]) / (nxt[axis] - cur[axis])
+                out.append((cur[0] + t * (nxt[0] - cur[0]),
+                            cur[1] + t * (nxt[1] - cur[1])))
+            if inn:
+                out.append(nxt)
+        pts = out
+        if not pts:
+            return 0.0
+    a = 0.0
+    for i in range(len(pts)):
+        x, y = pts[i]
+        xn, yn = pts[(i + 1) % len(pts)]
+        a += x * yn - xn * y
+    return 0.5 * abs(a)
+
+
+def _shoelace(ring):
+    xs, ys = ring[0::2], ring[1::2]
+    a = 0.0
+    for i in range(len(xs)):
+        a += xs[i] * ys[(i + 1) % len(xs)] - xs[(i + 1) % len(xs)] * ys[i]
+    return 0.5 * abs(a)
+
+
+def test_vs_scalar_clipper(ray_session):
+    zdf = _zones_df(21, 15)
+    got = zonal_area_weights(_zones_ds(zdf), GRID).to_pandas()
+    by_pair = {(int(r.zone_id), int(r.tile_id)): r.area
+               for r in got.itertuples()}
+    n_checked = 0
+    for _, zr in zdf.iterrows():
+        for t in range(GRID.ppd * GRID.ppd):
+            tx, ty = t % GRID.ppd, t // GRID.ppd
+            want = _clip_scalar(zr["ring"],
+                                GRID.minx + tx * GRID.cell_w,
+                                GRID.miny + ty * GRID.cell_h,
+                                GRID.minx + (tx + 1.0) * GRID.cell_w,
+                                GRID.miny + (ty + 1.0) * GRID.cell_h)
+            have = by_pair.get((int(zr["zone_id"]), t), 0.0)
+            assert abs(have - want) <= 1e-12 * max(1.0, want), (t, zr)
+            n_checked += want > 0
+    assert n_checked > 20
+
+
+def test_partition_of_unity(ray_session):
+    zdf = _zones_df(22, 30)
+    got = zonal_area_weights(_zones_ds(zdf), GRID).to_pandas()
+    sums = got.groupby("zone_id")["area"].sum()
+    for _, zr in zdf.iterrows():
+        want = _shoelace(zr["ring"])
+        have = float(sums.get(int(zr["zone_id"]), 0.0))
+        assert abs(have - want) <= 1e-9 * max(1.0, want)
+
+
+def test_partitioning_invariance(ray_session):
+    zdf = _zones_df(23, 20)
+    outs = []
+    for blocks in (1, 8):
+        ds = _zones_ds(zdf).repartition(blocks)
+        outs.append(zonal_area_weights(ds, GRID).to_pandas()
+                    .sort_values(["zone_id", "tile_id"])
+                    .reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1], check_exact=True)
