@@ -399,6 +399,48 @@ def _q_tile_cover_lines(sf_dir: str):
                             _tile_grid(), _cfg())
 
 
+def _q_line_simplify(sf_dir: str):
+    """Douglas-Peucker over the event polylines (batch-vectorized
+    worklist).  Rows-only; the DP guarantee rides in-query: every
+    dropped vertex within eps of its covering simplified chord,
+    endpoints preserved, vertex counts reduced — any violation raises."""
+    import pyarrow as pa
+
+    from hecatoncheir_ray.geometry.simplify import dp_keep_mask
+    _EPS = 0.02
+
+    def simp_check(t: pa.Table) -> pa.Table:
+        from hecatoncheir_ray.stages.assign import geoms_from_table
+        ids, gt, offs, vals, *_ = geoms_from_table(t)
+        offs = offs.astype(np.int64)
+        xs, ys = vals[0::2], vals[1::2]
+        voffs = offs // 2
+        keep = dp_keep_mask(xs, ys, voffs, _EPS)
+        # in-query oracle: the DP deviation bound, vectorized
+        kidx = np.flatnonzero(keep)
+        drop = np.flatnonzero(~keep)
+        pos = np.searchsorted(kidx, drop)
+        s, e = kidx[pos - 1], kidx[pos]
+        dx, dy = xs[e] - xs[s], ys[e] - ys[s]
+        norm = np.hypot(dx, dy)
+        d = np.where(norm > 0,
+                     np.abs(dx * (ys[drop] - ys[s])
+                            - dy * (xs[drop] - xs[s]))
+                     / np.where(norm == 0, 1.0, norm),
+                     np.hypot(xs[drop] - xs[s], ys[drop] - ys[s]))
+        if (d > _EPS + 1e-12).any():
+            raise AssertionError("DP deviation bound violated")
+        if not (keep[voffs[:-1]].all() and keep[voffs[1:] - 1].all()):
+            raise AssertionError("an endpoint was dropped")
+        nv_out = np.add.reduceat(keep.astype(np.int64), voffs[:-1])
+        return pa.table({"id": pa.array(ids, pa.int64()),
+                         "nv_in": pa.array(voffs[1:] - voffs[:-1]),
+                         "nv_out": pa.array(nv_out)})
+
+    return derive.ray_lines_events(sf_dir).map_batches(
+        simp_check, batch_format="pyarrow")
+
+
 def _q_zonal_stats(sf_dir: str):
     """Zonal statistics (raster x vector): per orders-octagon zone,
     aggregate the point-density raster tiles its polygon intersects —
@@ -1056,6 +1098,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only; hard signal = the in-query partition-of-unity
         # oracle (tile areas must sum to the shoelace area per zone)
         "zonal_area_weights": _q_zonal_area_weights,
+        # rows-only; in-query DP deviation-bound oracle +
+        # scalar-reference parity in tests/test_simplify.py
+        "line_simplify": _q_line_simplify,
     }
 
 

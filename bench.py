@@ -629,6 +629,18 @@ def run_raster() -> dict:
     timed("tile_cover_exact_lines",
           lambda: tile_cover_exact(derive.ray_lines_events(SF_DIR),
                                    grid, cfg))
+    from hecatoncheir_ray.pipelines.tiling import zonal_area_weights
+    timed("zonal_area_weights",
+          lambda: zonal_area_weights(zones, grid))
+    from hecatoncheir_ray.pipelines.hexgrid import (hex_assignments,
+                                                    hex_counts,
+                                                    hex_regions)
+    cells = hex_counts(
+        hex_assignments(derive.ray_points_events(SF_DIR), 0.5)) \
+        .materialize()
+    timed("hex_regions",
+          lambda: hex_regions(cells, 0.5, 2 + n_pts // 3300),
+          rows=n_pts)
     ray.shutdown()
     return {"metric": "raster_vector_throughput", "stages": stages,
             "points": n_pts, "ppd": grid.ppd,

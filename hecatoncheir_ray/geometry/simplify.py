@@ -1,0 +1,137 @@
+"""Douglas-Peucker polyline simplification, vectorized ACROSS a batch.
+
+The classic recursive algorithm, restructured as rounds over a global
+active-segment worklist so one batch of polylines is processed with
+numpy passes only (no per-line or per-segment Python recursion):
+
+    round:  for every active segment (chord between two kept vertices),
+            compute all interior-point perpendicular distances in one
+            ragged pass (repeat/cumsum indexing + maximum.reduceat),
+            keep each segment's first farthest vertex where the max
+            exceeds eps, split those segments, retire the rest.
+
+Rounds bound the recursion DEPTH of the scalar algorithm (typically
+O(log n)); total work per round stays linear in surviving points.
+Guarantee (standard DP): every dropped vertex lies within ``eps`` of
+the simplified chain; endpoints are always kept.  Tie-breaking (first
+index wins at equal distance) matches the scalar reference exactly, so
+results are deterministic and batch-invariant.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_BIG = np.int64(np.iinfo(np.int64).max)
+
+
+def _ragged_interior(starts: np.ndarray, ends: np.ndarray):
+    """Global indices of interior points start+1..end-1 per segment plus
+    the owning-segment index — the repeat/cumsum ragged-arange trick."""
+    counts = ends - starts - 1
+    total = int(counts.sum())
+    seg_of = np.repeat(np.arange(len(starts), dtype=np.int64), counts)
+    base = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=base[1:])
+    local = np.arange(total, dtype=np.int64) - np.repeat(base, counts)
+    return np.repeat(starts + 1, counts) + local, seg_of, counts
+
+
+def dp_keep_mask(xs: np.ndarray, ys: np.ndarray,
+                 offs: np.ndarray, eps: float) -> np.ndarray:
+    """Per-vertex keep mask for Douglas-Peucker over a BATCH of
+    polylines: vertices of line i are ``offs[i]:offs[i+1]`` in xs/ys."""
+    nv = len(xs)
+    keep = np.zeros(nv, dtype=bool)
+    starts = offs[:-1].astype(np.int64)
+    ends = (offs[1:] - 1).astype(np.int64)
+    ok = ends >= starts            # non-empty lines
+    keep[starts[ok]] = True
+    keep[ends[ok]] = True
+    seg_s = starts[ends > starts]
+    seg_e = ends[ends > starts]
+    while len(seg_s):
+        live = seg_e > seg_s + 1
+        seg_s, seg_e = seg_s[live], seg_e[live]
+        if not len(seg_s):
+            break
+        pidx, seg_of, counts = _ragged_interior(seg_s, seg_e)
+        sx, sy = xs[seg_s], ys[seg_s]
+        dx, dy = xs[seg_e] - sx, ys[seg_e] - sy
+        norm = np.hypot(dx, dy)
+        px = xs[pidx] - sx[seg_of]
+        py = ys[pidx] - sy[seg_of]
+        # perpendicular distance to the chord; for a degenerate chord
+        # (coincident endpoints) fall back to point distance
+        cross = np.abs(dx[seg_of] * py - dy[seg_of] * px)
+        dist = np.where(norm[seg_of] > 0.0,
+                        cross / np.where(norm[seg_of] == 0.0, 1.0,
+                                         norm[seg_of]),
+                        np.hypot(px, py))
+        bounds = np.zeros(len(seg_s), dtype=np.int64)
+        np.cumsum(counts[:-1], out=bounds[1:])
+        seg_max = np.maximum.reduceat(dist, bounds)
+        split = seg_max > eps
+        if not split.any():
+            break
+        # first interior index attaining the segment max (ties: lowest)
+        at_max = dist == seg_max[seg_of]
+        cand = np.where(at_max, pidx, _BIG)
+        far = np.minimum.reduceat(cand, bounds)[split]
+        keep[far] = True
+        seg_s = np.concatenate([seg_s[split], far])
+        seg_e = np.concatenate([far, seg_e[split]])
+    return keep
+
+
+def simplify_lines(geoms, eps: float):
+    """Dataset stage: geometry table -> same table with every
+    LINESTRING's coords Douglas-Peucker-simplified (other geometry
+    types pass through untouched); MBRs recomputed from the surviving
+    vertices.  One zero-shuffle map_batches."""
+    import pyarrow as pa
+
+    from ..stages.assign import geoms_from_table
+    from .core import GT_LINESTRING
+
+    def simp(t: pa.Table) -> pa.Table:
+        ids, gt, offs, vals, *_ = geoms_from_table(t)
+        offs = offs.astype(np.int64)
+        if len(ids) == 0:
+            return t
+        xs, ys = vals[0::2], vals[1::2]
+        voffs = offs // 2
+        keep = dp_keep_mask(xs, ys, voffs, eps)
+        # non-linestring rows keep every vertex
+        nv = voffs[1:] - voffs[:-1]
+        is_line = gt == GT_LINESTRING
+        keep |= np.repeat(~is_line, nv)
+        kx, ky = xs[keep], ys[keep]
+        new_nv = np.add.reduceat(keep.astype(np.int64), voffs[:-1])
+        new_nv[nv == 0] = 0
+        new_offs = np.concatenate([[0], np.cumsum(new_nv)])
+        flat = np.empty(2 * len(kx))
+        flat[0::2], flat[1::2] = kx, ky
+        coords = pa.ListArray.from_arrays(
+            pa.array((2 * new_offs).astype(np.int32)),
+            pa.array(flat, type=pa.float64()))
+        # per-line MBR over surviving vertices
+        mb = new_offs[:-1].copy()
+        has = new_nv > 0
+        minx = np.zeros(len(ids))
+        miny = np.zeros(len(ids))
+        maxx = np.zeros(len(ids))
+        maxy = np.zeros(len(ids))
+        if has.any():
+            minx[has] = np.minimum.reduceat(kx, mb[has])
+            miny[has] = np.minimum.reduceat(ky, mb[has])
+            maxx[has] = np.maximum.reduceat(kx, mb[has])
+            maxy[has] = np.maximum.reduceat(ky, mb[has])
+        return pa.table({
+            "id": pa.array(ids, pa.int64()),
+            "gtype": t["gtype"],
+            "coords": coords,
+            "minx": pa.array(minx), "miny": pa.array(miny),
+            "maxx": pa.array(maxx), "maxy": pa.array(maxy)})
+
+    return geoms.map_batches(simp, batch_format="pyarrow")

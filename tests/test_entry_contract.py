@@ -129,4 +129,7 @@ def test_query_priority_ordering(entrymod):
                                "hex_regions_points",
                                # rows-only; in-query partition-of-unity
                                # oracle + tests/test_zonal_area.py
-                               "zonal_area_weights"}
+                               "zonal_area_weights",
+                               # rows-only; in-query DP deviation bound
+                               # + scalar parity (tests/test_simplify)
+                               "line_simplify"}
