@@ -491,6 +491,48 @@ def _q_zonal_area_weights(sf_dir: str):
     return out
 
 
+def _q_areal_interpolate(sf_dir: str):
+    """Areal interpolation of the event-density raster onto the orders
+    octagons.  Rows-only; the closed-form oracle rides in-query on a
+    parallel CONSTANT raster — there est must equal
+    v * zone_area / tile_area exactly (interior zones), which pins the
+    whole clip-attach-reduce composition."""
+    import ray.data as rd
+
+    from hecatoncheir_ray.geometry.measures import measures_dataset
+    from hecatoncheir_ray.pipelines.tiling import (areal_interpolate,
+                                                   tile_assignments,
+                                                   tile_counts_ds)
+    g = _tile_grid()
+    zones = derive.ray_octagons_orders(sf_dir).materialize()
+    # oracle pass: constant raster v = 3 over the dense lattice
+    V = 3
+    const = rd.range(_TILE_PPD * _TILE_PPD).map_batches(
+        lambda t: __import__("pyarrow").table(
+            {"tile_id": t["id"],
+             "n": __import__("pyarrow").array(
+                 np.full(len(t), V, np.int64))}),
+        batch_format="pyarrow")
+    est = areal_interpolate(zones, const, g).to_pandas() \
+        .set_index("zone_id")["est"]
+    zm = zones.select_columns(["id", "minx", "miny", "maxx", "maxy"]) \
+        .to_pandas().set_index("id")
+    interior = ((zm["minx"] >= g.minx) & (zm["miny"] >= g.miny)
+                & (zm["maxx"] <= g.maxx) & (zm["maxy"] <= g.maxy))
+    truth = measures_dataset(zones).to_pandas().set_index("id")["area"]
+    want = V * truth / (g.cell_w * g.cell_h)
+    have = est.reindex(truth.index).fillna(0.0)
+    bad = interior & ((have - want).abs() > 1e-9 * want.clip(lower=1.0))
+    if bad.any() or not interior.any():
+        raise AssertionError(
+            f"constant-raster closed form violated for {int(bad.sum())}"
+            f" of {int(interior.sum())} interior zones")
+    # the returned result: the REAL event-density raster interpolated
+    tiles = tile_counts_ds(
+        tile_assignments(derive.ray_points_events(sf_dir), g))
+    return areal_interpolate(zones, tiles, g)
+
+
 def _q_tile_pyramid_counts(sf_dir: str):
     """Hierarchical quadkey pyramid (H3/S2-style Z-order index): per-tile
     point counts at every zoom 0..8 in one pass + one shuffle."""
@@ -1101,6 +1143,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only; in-query DP deviation-bound oracle +
         # scalar-reference parity in tests/test_simplify.py
         "line_simplify": _q_line_simplify,
+        # rows-only; in-query constant-raster closed-form oracle
+        "areal_interpolate": _q_areal_interpolate,
     }
 
 

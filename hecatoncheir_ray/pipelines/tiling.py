@@ -521,6 +521,51 @@ def zonal_area_weights(zones: Dataset, grid: GridSpec) -> Dataset:
     return zones.map_batches(weights, batch_format="pyarrow")
 
 
+def areal_interpolate(zones: Dataset, tile_values: Dataset,
+                      grid: GridSpec, num_parts: int = 64) -> Dataset:
+    """Areal interpolation (the end-use of :func:`zonal_area_weights`):
+    transfer a tile raster's values onto zone polygons weighted by
+    exact coverage — (zone_id, est) with
+    ``est = sum_t value_t * area(zone ∩ t) / tile_area``.
+
+    The standard downscaling estimator (raster counts assumed uniform
+    within a tile).  Closed-form check: on a CONSTANT raster v the
+    estimate collapses to ``v * zone_area / tile_area`` exactly — the
+    driver query's in-query oracle.
+
+    Scale shape: weights stream zero-shuffle out of the clipper; the
+    only exchanges are the reduce-side value attach and the per-zone
+    Sum, both pair-cardinality."""
+    import pandas as pd
+
+    from ..functions.idjoin import attach_i64_by_id, hash_group_reduce
+
+    from ..functions.idjoin import filter_by_ids
+
+    # tiles absent from the (sparse) raster have value 0 and contribute
+    # nothing: semi-join the weights down before the attach (which
+    # requires every key present, by design)
+    w = filter_by_ids(zonal_area_weights(zones, grid), "tile_id",
+                      tile_values, "tile_id", keep=True,
+                      num_parts=num_parts)
+    att = attach_i64_by_id(w, "tile_id", tile_values,
+                           "tile_id", "n", "n", num_parts=num_parts)
+    tile_area = grid.cell_w * grid.cell_h
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        est = (df["n"].to_numpy().astype(np.float64)
+               * df["area"].to_numpy() / tile_area)
+        g = pd.DataFrame({"zone_id":
+                          df["zone_id"].to_numpy().astype(np.int64),
+                          "est": est})
+        return g.groupby("zone_id", as_index=False).agg(
+            est=("est", "sum"))
+
+    return hash_group_reduce(
+        att.map_batches(part, batch_format="pandas"),
+        ["zone_id"], {"est": ("est", "sum")}, num_parts=num_parts)
+
+
 def raster_regions_sql(tiles_sql: str, grid: GridSpec,
                        threshold) -> str:
     """DuckDB twin of :func:`raster_regions` over ``tiles_sql`` (any

@@ -132,4 +132,7 @@ def test_query_priority_ordering(entrymod):
                                "zonal_area_weights",
                                # rows-only; in-query DP deviation bound
                                # + scalar parity (tests/test_simplify)
-                               "line_simplify"}
+                               "line_simplify",
+                               # rows-only; in-query constant-raster
+                               # closed-form oracle
+                               "areal_interpolate"}

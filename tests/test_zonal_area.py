@@ -89,3 +89,47 @@ def test_partitioning_invariance(ray_session):
                     .sort_values(["zone_id", "tile_id"])
                     .reset_index(drop=True))
     pd.testing.assert_frame_equal(outs[0], outs[1], check_exact=True)
+
+
+def test_areal_interpolate_constant_raster(ray_session):
+    """On a constant raster v the estimate is exactly
+    v * zone_area / tile_area (up to float-sum tolerance)."""
+    import ray.data as rd
+    from hecatoncheir_ray.pipelines.tiling import areal_interpolate
+    zdf = _zones_df(31, 20)
+    v = 7
+    tiles = pd.DataFrame({
+        "tile_id": np.arange(GRID.ppd * GRID.ppd, dtype=np.int64),
+        "n": np.full(GRID.ppd * GRID.ppd, v, dtype=np.int64)})
+    got = areal_interpolate(_zones_ds(zdf), rd.from_pandas(tiles),
+                            GRID, num_parts=16).to_pandas() \
+        .set_index("zone_id")["est"]
+    ta = GRID.cell_w * GRID.cell_h
+    for _, zr in zdf.iterrows():
+        want = v * _shoelace(zr["ring"]) / ta
+        have = float(got.get(int(zr["zone_id"]), 0.0))
+        assert abs(have - want) <= 1e-9 * max(1.0, want)
+
+
+def test_areal_interpolate_vs_pandas(ray_session):
+    """General raster: matches a pandas recomputation from the weights."""
+    import ray.data as rd
+    from hecatoncheir_ray.pipelines.tiling import (areal_interpolate,
+                                                   zonal_area_weights)
+    rng = np.random.RandomState(33)
+    zdf = _zones_df(32, 15)
+    occupied = np.flatnonzero(rng.rand(GRID.ppd * GRID.ppd) < 0.7)
+    tiles = pd.DataFrame({
+        "tile_id": occupied.astype(np.int64),
+        "n": rng.randint(1, 50, len(occupied)).astype(np.int64)})
+    got = areal_interpolate(_zones_ds(zdf), rd.from_pandas(tiles),
+                            GRID, num_parts=16).to_pandas() \
+        .sort_values("zone_id").reset_index(drop=True)
+    w = zonal_area_weights(_zones_ds(zdf), GRID).to_pandas()
+    m = w.merge(tiles, on="tile_id", how="inner")
+    ta = GRID.cell_w * GRID.cell_h
+    m["est"] = m["n"] * m["area"] / ta
+    want = m.groupby("zone_id", as_index=False)["est"].sum() \
+        .sort_values("zone_id").reset_index(drop=True)
+    assert (got["zone_id"] == want["zone_id"]).all()
+    assert np.allclose(got["est"], want["est"], rtol=1e-12, atol=1e-12)
