@@ -38,18 +38,27 @@ def _ragged_interior(starts: np.ndarray, ends: np.ndarray):
 
 
 def dp_keep_mask(xs: np.ndarray, ys: np.ndarray,
-                 offs: np.ndarray, eps: float) -> np.ndarray:
+                 offs: np.ndarray, eps: float,
+                 row_mask: np.ndarray | None = None) -> np.ndarray:
     """Per-vertex keep mask for Douglas-Peucker over a BATCH of
-    polylines: vertices of line i are ``offs[i]:offs[i+1]`` in xs/ys."""
+    polylines: vertices of line i are ``offs[i]:offs[i+1]`` in xs/ys.
+
+    ``row_mask`` restricts simplification to the flagged rows; vertices
+    of unflagged rows are all kept and never enter the worklist (no
+    wasted distance passes over pass-through geometries)."""
     nv = len(xs)
     keep = np.zeros(nv, dtype=bool)
     starts = offs[:-1].astype(np.int64)
     ends = (offs[1:] - 1).astype(np.int64)
-    ok = ends >= starts            # non-empty lines
+    if row_mask is None:
+        row_mask = np.ones(len(starts), dtype=bool)
+    keep |= np.repeat(~row_mask, (offs[1:] - offs[:-1]).astype(np.int64))
+    ok = row_mask & (ends >= starts)       # non-empty active lines
     keep[starts[ok]] = True
     keep[ends[ok]] = True
-    seg_s = starts[ends > starts]
-    seg_e = ends[ends > starts]
+    seg_mask = row_mask & (ends > starts)
+    seg_s = starts[seg_mask]
+    seg_e = ends[seg_mask]
     while len(seg_s):
         live = seg_e > seg_s + 1
         seg_s, seg_e = seg_s[live], seg_e[live]
@@ -101,14 +110,18 @@ def simplify_lines(geoms, eps: float):
             return t
         xs, ys = vals[0::2], vals[1::2]
         voffs = offs // 2
-        keep = dp_keep_mask(xs, ys, voffs, eps)
-        # non-linestring rows keep every vertex
         nv = voffs[1:] - voffs[:-1]
-        is_line = gt == GT_LINESTRING
-        keep |= np.repeat(~is_line, nv)
+        keep = dp_keep_mask(xs, ys, voffs, eps,
+                            row_mask=gt == GT_LINESTRING)
         kx, ky = xs[keep], ys[keep]
-        new_nv = np.add.reduceat(keep.astype(np.int64), voffs[:-1])
-        new_nv[nv == 0] = 0
+        # reduceat over non-empty rows only (an index == len(keep),
+        # from a trailing zero-vertex row, would raise); empty rows
+        # occupy zero width so skipping their indices changes nothing
+        new_nv = np.zeros(len(ids), dtype=np.int64)
+        nz = nv > 0
+        if nz.any():
+            new_nv[nz] = np.add.reduceat(keep.astype(np.int64),
+                                         voffs[:-1][nz])
         new_offs = np.concatenate([[0], np.cumsum(new_nv)])
         flat = np.empty(2 * len(kx))
         flat[0::2], flat[1::2] = kx, ky

@@ -127,29 +127,27 @@ def hex_regions(hex_values: Dataset, size: float, threshold: int,
     maxy), region_id = the component's minimum hex_id and the bbox over
     CELL CENTERS (exact inverse projection, IEEE-twinned).
 
-    The hexagonal counterpart of :func:`..tiling.raster_regions`, same
-    machinery (semi-joined neighbor edges, adaptive single-task
-    union-find / alternating-star labeling, per-batch partials + one
-    hash_group_reduce), but the 6-neighbor deltas are pure id
-    arithmetic (+-SPAN, +-1, +-(SPAN-1)) — the axial lattice is
-    unbounded, so no edge clamping exists at all."""
+    The hexagonal counterpart of :func:`..tiling.raster_regions`: the
+    shared :func:`..tiling.label_regions` core does the threshold
+    filter, semi-joined neighbor edges, and adaptive single-task /
+    alternating-star labeling; only the 6-neighbor deltas — pure id
+    arithmetic (+-SPAN, +-1, +-(SPAN-1)); the axial lattice is
+    unbounded, so no edge clamping exists at all — and the
+    center-projection reduce differ."""
     import pandas as pd
     import ray.data
 
-    from ..functions.dedup import connected_components
-    from ..functions.idjoin import filter_by_ids, hash_group_reduce
-    from .tiling import _label_components_kernel
+    from ..functions.idjoin import hash_group_reduce
+    from .tiling import label_regions
 
-    def kept_rows(df: pd.DataFrame) -> pd.DataFrame:
-        m = df["n"].to_numpy() >= threshold
-        return pd.DataFrame(
-            {"hex_id": df["hex_id"].to_numpy()[m].astype(np.int64),
-             "n": df["n"].to_numpy()[m].astype(np.int64)})
+    def edge_fn(h: np.ndarray):
+        # 3 directed deltas; CC symmetrizes (the other 3 are reverses)
+        return (np.concatenate([h, h, h]),
+                np.concatenate([h + _SPAN, h + 1, h + (_SPAN - 1)]))
 
-    kept = hex_values.map_batches(kept_rows,
-                                  batch_format="pandas").materialize()
-    n_kept = kept.count()
-    if n_kept == 0:
+    labels = label_regions(hex_values, "hex_id", edge_fn, threshold,
+                           num_parts, single_task_max_cells)
+    if labels is None:
         return ray.data.from_pandas(pd.DataFrame({
             "region_id": pd.Series([], dtype=np.int64),
             "cell_count": pd.Series([], dtype=np.int64),
@@ -158,41 +156,6 @@ def hex_regions(hex_values: Dataset, size: float, threshold: int,
             "miny": pd.Series([], dtype=np.float64),
             "maxx": pd.Series([], dtype=np.float64),
             "maxy": pd.Series([], dtype=np.float64)}))
-
-    def cand_edges(df: pd.DataFrame) -> pd.DataFrame:
-        h = df["hex_id"].to_numpy().astype(np.int64)
-        # 3 directed deltas; CC symmetrizes (the other 3 are reverses)
-        return pd.DataFrame({
-            "u": np.concatenate([h, h, h]),
-            "v": np.concatenate([h + _SPAN, h + 1, h + (_SPAN - 1)])})
-
-    edges = filter_by_ids(
-        kept.map_batches(cand_edges, batch_format="pandas"),
-        "v", kept, "hex_id", keep=True, num_parts=num_parts)
-    if n_kept <= single_task_max_cells:
-        stars = edges \
-            .map_batches(lambda df: df.assign(_p=np.int64(0)),
-                         batch_format="pandas") \
-            .groupby("_p").map_groups(_label_components_kernel,
-                                      batch_format="pandas")
-    else:
-        stars = connected_components(edges, num_parts=num_parts)
-
-    def ident(df: pd.DataFrame) -> pd.DataFrame:
-        h = df["hex_id"].to_numpy().astype(np.int64)
-        return pd.DataFrame({"u": h, "v": h,
-                             "n": df["n"].to_numpy().astype(np.int64)})
-
-    def zero_n(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"u": df["u"].to_numpy().astype(np.int64),
-                             "v": df["v"].to_numpy().astype(np.int64),
-                             "n": np.zeros(len(df), dtype=np.int64)})
-
-    labels = hash_group_reduce(
-        kept.map_batches(ident, batch_format="pandas")
-            .union(stars.map_batches(zero_n, batch_format="pandas")),
-        ["u"], {"region_id": ("v", "min"), "nn": ("n", "sum")},
-        num_parts=num_parts)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         h = df["u"].to_numpy().astype(np.int64)

@@ -131,9 +131,11 @@ def tile_counts_ds(assignments: Dataset, num_parts: int = 64) -> Dataset:
         ["tile_id"], {"n": ("n", "sum")}, num_parts=num_parts)
 
 
-def tile_counts(assignments: Dataset, grid: GridSpec):
+def tile_counts(assignments: Dataset, grid: GridSpec | None = None):
     """Driver-materialized (sorted) :func:`tile_counts_ds` — the driver
-    only ever sees the non-empty result rows."""
+    only ever sees the non-empty result rows.  ``grid`` is accepted for
+    backward compatibility but unused (counting is grid-independent
+    once assignments exist)."""
     out = tile_counts_ds(assignments).to_pandas()
     out["tile_id"] = out["tile_id"].astype(np.int64)
     out["n"] = out["n"].astype(np.int64)
@@ -172,6 +174,80 @@ def _label_components_kernel(g):
     return pd.DataFrame({"u": nodes, "v": nodes[lab]})
 
 
+def label_regions(values: Dataset, id_col: str, edge_fn, threshold: int,
+                  num_parts: int = 64,
+                  single_task_max: int = 1 << 22):
+    """Shared lattice-polygonize core (square tiles AND hex cells use
+    this): threshold filter -> neighbor candidate edges (``edge_fn(ids)
+    -> (u, v)``, directed; CC symmetrizes) -> reduce-side semi-join (a
+    neighbor must itself be kept; no dense lattice materialized) ->
+    adaptive component labeling -> one Min/Sum reduce.
+
+    Returns the (u=<cell id>, region_id, nn=<cell value>) label Dataset,
+    or None when nothing survives the threshold.
+
+    Adaptive labeling: a lattice graph is raster-cardinality (<= cells,
+    never corpus-scale), so up to ``single_task_max`` kept cells it
+    labels in ONE worker task (vectorized union-find,
+    :func:`_label_components_kernel`) — the alternating-star loop's ~3
+    Ray stages PER ROUND are pure coordination overhead at that size
+    (measured 34 s -> ~4 s on a 4096-tile raster).  Larger lattices
+    take the star path unchanged (parity-tested)."""
+    import pandas as pd
+
+    from ..functions.dedup import connected_components
+    from ..functions.idjoin import filter_by_ids, hash_group_reduce
+
+    def kept_rows(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["n"].to_numpy() >= threshold
+        return pd.DataFrame(
+            {id_col: df[id_col].to_numpy()[m].astype(np.int64),
+             "n": df["n"].to_numpy()[m].astype(np.int64)})
+
+    # pinned once: edge source + semi-join id side + identity label rows
+    kept = values.map_batches(kept_rows,
+                              batch_format="pandas").materialize()
+    if kept.count() == 0:
+        # an all-empty input yields schema-less downstream Datasets that
+        # poison the id joins; the scalar count is free on a
+        # materialized Dataset
+        return None
+
+    def cand_edges(df: pd.DataFrame) -> pd.DataFrame:
+        u, v = edge_fn(df[id_col].to_numpy().astype(np.int64))
+        return pd.DataFrame({"u": u, "v": v})
+
+    edges = filter_by_ids(
+        kept.map_batches(cand_edges, batch_format="pandas"),
+        "v", kept, id_col, keep=True, num_parts=num_parts)
+    if kept.count() <= single_task_max:
+        stars = edges \
+            .map_batches(lambda df: df.assign(_p=np.int64(0)),
+                         batch_format="pandas") \
+            .groupby("_p").map_groups(_label_components_kernel,
+                                      batch_format="pandas")
+    else:
+        stars = connected_components(edges, num_parts=num_parts)
+
+    # label every kept cell: identity rows carry the cell's value
+    # (stars carry 0), so one Min/Sum reduce yields (cell, region, n)
+    def ident(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[id_col].to_numpy().astype(np.int64)
+        return pd.DataFrame({"u": t, "v": t,
+                             "n": df["n"].to_numpy().astype(np.int64)})
+
+    def zero_n(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"u": df["u"].to_numpy().astype(np.int64),
+                             "v": df["v"].to_numpy().astype(np.int64),
+                             "n": np.zeros(len(df), dtype=np.int64)})
+
+    return hash_group_reduce(
+        kept.map_batches(ident, batch_format="pandas")
+            .union(stars.map_batches(zero_n, batch_format="pandas")),
+        ["u"], {"region_id": ("v", "min"), "nn": ("n", "sum")},
+        num_parts=num_parts)
+
+
 def raster_regions(tile_values: Dataset, grid: GridSpec, threshold: int,
                    num_parts: int = 64,
                    single_task_max_tiles: int = 1 << 22) -> Dataset:
@@ -183,37 +259,30 @@ def raster_regions(tile_values: Dataset, grid: GridSpec, threshold: int,
     turns a density/heat raster back into query geometry (e.g. hot-spot
     extraction over a point corpus).
 
-    Scale shape: everything is tile-cardinality (<= ppd^2, independent of
-    the input corpus).  Kept tiles are pinned once for their three
-    consumers; candidate 4-adjacency edges survive via one reduce-side
-    semi-join (a neighbor must itself be a kept tile — no dense grid is
-    ever materialized); components come from the alternating-star CC
-    (groupby-only, O(log n) rounds); the per-region bbox/total reduce is
-    one hash_group_reduce over per-batch partials.  The driver never
-    sees per-tile rows.
+    Scale shape: everything is tile-cardinality (<= ppd^2, independent
+    of the input corpus); the shared :func:`label_regions` core does the
+    threshold filter, semi-joined 4-adjacency edges, and adaptive
+    component labeling; the per-region bbox/total reduce is one
+    hash_group_reduce over per-batch partials.  The driver never sees
+    per-tile rows.
 
     Float policy: the bbox arithmetic is exactly two IEEE ops per bound
     (``grid_origin + index * cell_size``), written identically in the
     SQL twin — bit-exact checkable like quadkey/hex_sql."""
     import pandas as pd
 
-    from ..functions.dedup import connected_components
-    from ..functions.idjoin import filter_by_ids, hash_group_reduce
+    from ..functions.idjoin import hash_group_reduce
     ppd = grid.ppd
 
-    def kept_rows(df: pd.DataFrame) -> pd.DataFrame:
-        m = df["n"].to_numpy() >= threshold
-        return pd.DataFrame(
-            {"tile_id": df["tile_id"].to_numpy()[m].astype(np.int64),
-             "n": df["n"].to_numpy()[m].astype(np.int64)})
+    def edge_fn(t: np.ndarray):
+        right = t[(t % ppd) < ppd - 1]        # row-major: +1 unless at
+        up = t[(t // ppd) < ppd - 1]          # the x edge; +ppd for y
+        return (np.concatenate([right, up]),
+                np.concatenate([right + 1, up + ppd]))
 
-    # pinned once: edge source + semi-join id side + identity label rows
-    kept = tile_values.map_batches(kept_rows,
-                                   batch_format="pandas").materialize()
-    if kept.count() == 0:
-        # an all-empty input yields schema-less downstream Datasets that
-        # poison the id joins; the scalar count is free on a
-        # materialized Dataset
+    labels = label_regions(tile_values, "tile_id", edge_fn, threshold,
+                           num_parts, single_task_max_tiles)
+    if labels is None:
         import ray.data
 
         # a PANDAS block: Dataset.to_pandas() drops the schema of empty
@@ -227,50 +296,6 @@ def raster_regions(tile_values: Dataset, grid: GridSpec, threshold: int,
             "miny": pd.Series([], dtype=np.float64),
             "maxx": pd.Series([], dtype=np.float64),
             "maxy": pd.Series([], dtype=np.float64)}))
-
-    def cand_edges(df: pd.DataFrame) -> pd.DataFrame:
-        t = df["tile_id"].to_numpy().astype(np.int64)
-        right = t[(t % ppd) < ppd - 1]        # row-major: +1 unless at
-        up = t[(t // ppd) < ppd - 1]          # the x edge; +ppd for y
-        return pd.DataFrame({
-            "u": np.concatenate([right, up]),
-            "v": np.concatenate([right + 1, up + ppd])})
-
-    edges = filter_by_ids(
-        kept.map_batches(cand_edges, batch_format="pandas"),
-        "v", kept, "tile_id", keep=True, num_parts=num_parts)
-    # adaptive: a tile graph is raster-cardinality (<= ppd^2 nodes), so
-    # up to ``single_task_max_tiles`` it labels in ONE worker task
-    # (vectorized union-find) — the alternating-star loop's ~3 Ray
-    # stages PER ROUND are pure coordination overhead at that size
-    # (measured 34 s -> ~4 s on a 4096-tile raster).  Larger rasters
-    # take the star path unchanged.
-    if kept.count() <= single_task_max_tiles:
-        stars = edges \
-            .map_batches(lambda df: df.assign(_p=np.int64(0)),
-                         batch_format="pandas") \
-            .groupby("_p").map_groups(_label_components_kernel,
-                                      batch_format="pandas")
-    else:
-        stars = connected_components(edges, num_parts=num_parts)
-
-    # label every kept tile: identity rows carry the tile's value (stars
-    # carry 0), so one Min/Sum reduce yields (tile, region, n) together
-    def ident(df: pd.DataFrame) -> pd.DataFrame:
-        t = df["tile_id"].to_numpy().astype(np.int64)
-        return pd.DataFrame({"u": t, "v": t,
-                             "n": df["n"].to_numpy().astype(np.int64)})
-
-    def zero_n(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"u": df["u"].to_numpy().astype(np.int64),
-                             "v": df["v"].to_numpy().astype(np.int64),
-                             "n": np.zeros(len(df), dtype=np.int64)})
-
-    labels = hash_group_reduce(
-        kept.map_batches(ident, batch_format="pandas")
-            .union(stars.map_batches(zero_n, batch_format="pandas")),
-        ["u"], {"region_id": ("v", "min"), "nn": ("n", "sum")},
-        num_parts=num_parts)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         t = df["u"].to_numpy().astype(np.int64)
@@ -446,8 +471,12 @@ def _clip_halfplane(X, Y, m, axis: int, bound, keep_ge: bool):
     ex[:, 1::2], ey[:, 1::2], ev[:, 1::2] = Xn, Yn, emit_n
     pos = np.cumsum(ev, axis=1) - 1
     m_out = np.where(ev.any(axis=1), pos[:, -1] + 1, 0).astype(np.int64)
-    Xo = np.zeros((P, C2))
-    Yo = np.zeros((P, C2))
+    # trim to the real max vertex count: a convex clip grows counts by
+    # at most a few, so untrimmed doubling would run the later clips
+    # and the shoelace over 16x-wider buffers than needed
+    Cout = max(int(m_out.max(initial=0)), 1)
+    Xo = np.zeros((P, Cout))
+    Yo = np.zeros((P, Cout))
     rows, colsv = np.nonzero(ev)
     Xo[rows, pos[ev]] = ex[ev]
     Yo[rows, pos[ev]] = ey[ev]
