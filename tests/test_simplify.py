@@ -117,3 +117,76 @@ def test_dataset_stage(ray_session):
         .to_pandas().sort_values("id").reset_index(drop=True)
     assert all(np.array_equal(a, b)
                for a, b in zip(out["coords"], out1["coords"]))
+
+
+def _ring_scalar(xs, ys, eps):
+    """Scalar reference for the closed-ring rule: anchor at v0 and the
+    first farthest-from-v0 vertex, DP the two chains, min-3 fixup."""
+    n = len(xs)
+    if n <= 3:
+        return np.ones(n, dtype=bool)
+    d2 = (xs - xs[0]) ** 2 + (ys - ys[0]) ** 2
+    far = max(int(np.argmax(d2)), 1)
+    keep = np.zeros(n, dtype=bool)
+    chainA = np.arange(0, far + 1)
+    chainB = np.concatenate([np.arange(far, n), [0]])
+    for ch in (chainA, chainB):
+        k = _dp_scalar(xs[ch], ys[ch], eps)
+        keep[ch[k]] = True
+    if keep.sum() < 3:
+        cand = [j for j in range(n) if j != 0 and j != far]
+        dx, dy = xs[far] - xs[0], ys[far] - ys[0]
+        norm = np.hypot(dx, dy)
+        dd = [abs(dx * (ys[j] - ys[0]) - dy * (xs[j] - xs[0])) / norm
+              if norm > 0 else np.hypot(xs[j] - xs[0], ys[j] - ys[0])
+              for j in cand]
+        keep[cand[int(np.argmax(dd))]] = True
+    return keep
+
+
+def test_ring_matches_scalar_reference():
+    from hecatoncheir_ray.geometry.simplify import ring_keep_mask
+    rng = np.random.RandomState(5)
+    offs = [0]
+    xs, ys = [], []
+    for _ in range(50):
+        m = rng.randint(4, 30)
+        ang = np.sort(rng.uniform(0, 2 * np.pi, m))
+        r = rng.uniform(0.5, 2.0, m)
+        xs.append(r * np.cos(ang))
+        ys.append(r * np.sin(ang))
+        offs.append(offs[-1] + m)
+    xs, ys = np.concatenate(xs), np.concatenate(ys)
+    offs = np.array(offs, dtype=np.int64)
+    for eps in (0.01, 0.2, 1.0, 10.0):
+        got = ring_keep_mask(xs, ys, offs, eps)
+        for i in range(len(offs) - 1):
+            a, b = offs[i], offs[i + 1]
+            want = _ring_scalar(xs[a:b], ys[a:b], eps)
+            assert (got[a:b] == want).all(), (i, eps)
+            assert got[a:b].sum() >= 3        # always a valid ring
+
+
+def test_simplify_polygons_stage(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from hecatoncheir_ray.geometry.simplify import simplify_polygons
+    from hecatoncheir_ray.sources.derive import _octagons_table
+
+    t = _octagons_table(np.arange(300, dtype=np.int64), 7)
+    out = simplify_polygons(rd.from_arrow(t).repartition(4), eps=0.001) \
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    src = t.to_pandas().sort_values("id").reset_index(drop=True)
+    nv_out = out["coords"].map(len).sum()
+    nv_src = src["coords"].map(len).sum()
+    assert nv_out <= nv_src
+    assert all(len(c) >= 6 for c in out["coords"])    # >= 3 vertices
+    # at tiny eps the octagons' shape survives: area within 1%
+    from hecatoncheir_ray.geometry.measures import measures_dataset
+    a_out = measures_dataset(
+        rd.from_arrow(pa.Table.from_pandas(out))).to_pandas() \
+        .sort_values("id")["area"].to_numpy()
+    a_src = measures_dataset(rd.from_arrow(t)).to_pandas() \
+        .sort_values("id")["area"].to_numpy()
+    assert np.all(np.abs(a_out - a_src) <= 0.01 * a_src + 1e-12)
