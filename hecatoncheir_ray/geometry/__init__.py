@@ -7,5 +7,7 @@ from .predicates import (MBR_CROSS, MBR_EQUAL, MBR_INTERSECT, MBR_R_IN_S,
                          TR_MEET, TR_NAMES, find_relation, point_distance,
                          points_in_ring, predicate, relate, relate_mbrs)
 from .fast import eval_predicate, fast_intersects, points_in_polygon_batch
+from .simplify import (dp_keep_mask, ring_keep_mask, simplify_lines,
+                       simplify_polygons)
 
 __all__ = [n for n in dir() if not n.startswith("_")]

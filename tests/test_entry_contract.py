@@ -135,4 +135,7 @@ def test_query_priority_ordering(entrymod):
                                "line_simplify",
                                # rows-only; in-query constant-raster
                                # closed-form oracle
-                               "areal_interpolate"}
+                               "areal_interpolate",
+                               # rows-only; in-query min-3 and area
+                               # invariants (tests/test_simplify.py)
+                               "polygon_simplify"}
