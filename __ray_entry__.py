@@ -494,7 +494,9 @@ def _q_zonal_area_weights(sf_dir: str):
     from hecatoncheir_ray.pipelines.tiling import zonal_area_weights
     zones = derive.ray_octagons_orders(sf_dir).materialize()
     g = _tile_grid()
-    out = zonal_area_weights(zones, g)
+    # materialized: the oracle sum below and the returned result are two
+    # consumers of the same clip pipeline
+    out = zonal_area_weights(zones, g).materialize()
     sums = out.to_pandas().groupby("zone_id")["area"].sum()
     zm = zones.select_columns(["id", "minx", "miny", "maxx", "maxy"]) \
         .to_pandas().set_index("id")

@@ -612,8 +612,14 @@ def run_raster() -> dict:
 
     tiles = tile_counts_ds(
         tile_assignments(derive.ray_points_events(SF_DIR), grid))
-    timed("tile_counts_raster", lambda: tiles, rows=n_pts)
+    # time the materialize itself: the artifact every later stage uses
+    # (a timed count() would re-execute the point shuffle a second time)
+    t0 = time.time()
     tiles = tiles.materialize()
+    dt = time.time() - t0
+    stages["tile_counts_raster"] = {
+        "result_rows": tiles.count(), "sec": round(dt, 3),
+        "rows_per_sec": round(n_pts / dt, 1)}
     thr = 1 + n_pts // (grid.ppd * grid.ppd)
     timed("raster_regions", lambda: raster_regions(tiles, grid, thr),
           rows=n_pts)

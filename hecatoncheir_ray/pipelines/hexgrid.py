@@ -134,11 +134,7 @@ def hex_regions(hex_values: Dataset, size: float, threshold: int,
     arithmetic (+-SPAN, +-1, +-(SPAN-1)); the axial lattice is
     unbounded, so no edge clamping exists at all — and the
     center-projection reduce differ."""
-    import pandas as pd
-    import ray.data
-
-    from ..functions.idjoin import hash_group_reduce
-    from .tiling import label_regions
+    from .tiling import label_regions, region_empty, region_reduce
 
     def edge_fn(h: np.ndarray):
         # 3 directed deltas; CC symmetrizes (the other 3 are reverses)
@@ -148,50 +144,15 @@ def hex_regions(hex_values: Dataset, size: float, threshold: int,
     labels = label_regions(hex_values, "hex_id", edge_fn, threshold,
                            num_parts, single_task_max_cells)
     if labels is None:
-        return ray.data.from_pandas(pd.DataFrame({
-            "region_id": pd.Series([], dtype=np.int64),
-            "cell_count": pd.Series([], dtype=np.int64),
-            "total_n": pd.Series([], dtype=np.int64),
-            "minx": pd.Series([], dtype=np.float64),
-            "miny": pd.Series([], dtype=np.float64),
-            "maxx": pd.Series([], dtype=np.float64),
-            "maxy": pd.Series([], dtype=np.float64)}))
+        return region_empty("cell_count")
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        h = df["u"].to_numpy().astype(np.int64)
+    def bounds_fn(h: np.ndarray):
         q = h // _SPAN - _OFF
         r = h % _SPAN - _OFF
         cx, cy = hex_center(q, r, size)
-        g = pd.DataFrame(
-            {"region_id": df["region_id"].to_numpy().astype(np.int64),
-             "cell_count": np.ones(len(df), dtype=np.int64),
-             "total_n": df["nn"].to_numpy().astype(np.int64),
-             "x0": cx, "x1": cx, "y0": cy, "y1": cy})
-        return g.groupby("region_id", as_index=False).agg(
-            cell_count=("cell_count", "sum"), total_n=("total_n", "sum"),
-            x0=("x0", "min"), x1=("x1", "max"),
-            y0=("y0", "min"), y1=("y1", "max"))
+        return cx, cy, cx, cy          # a cell CENTER bounds itself
 
-    red = hash_group_reduce(
-        labels.map_batches(partial, batch_format="pandas"),
-        ["region_id"],
-        {"cell_count": ("cell_count", "sum"),
-         "total_n": ("total_n", "sum"),
-         "x0": ("x0", "min"), "x1": ("x1", "max"),
-         "y0": ("y0", "min"), "y1": ("y1", "max")},
-        num_parts=num_parts)
-
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "region_id": df["region_id"].to_numpy().astype(np.int64),
-            "cell_count": df["cell_count"].to_numpy().astype(np.int64),
-            "total_n": df["total_n"].to_numpy().astype(np.int64),
-            "minx": df["x0"].to_numpy().astype(np.float64),
-            "miny": df["y0"].to_numpy().astype(np.float64),
-            "maxx": df["x1"].to_numpy().astype(np.float64),
-            "maxy": df["y1"].to_numpy().astype(np.float64)})
-
-    return red.map_batches(finish, batch_format="pandas")
+    return region_reduce(labels, "cell_count", bounds_fn, num_parts)
 
 
 def hex_regions_sql(cells_sql: str, size: float, threshold) -> str:

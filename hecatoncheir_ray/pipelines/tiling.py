@@ -248,6 +248,74 @@ def label_regions(values: Dataset, id_col: str, edge_fn, threshold: int,
         num_parts=num_parts)
 
 
+def region_empty(count_col: str) -> Dataset:
+    """Typed empty region table (pandas block: Dataset.to_pandas()
+    drops the schema of empty ARROW blocks on Ray 2.49, but
+    concatenating pandas blocks keeps the typed empty columns)."""
+    import pandas as pd
+    import ray.data
+
+    return ray.data.from_pandas(pd.DataFrame({
+        "region_id": pd.Series([], dtype=np.int64),
+        count_col: pd.Series([], dtype=np.int64),
+        "total_n": pd.Series([], dtype=np.int64),
+        "minx": pd.Series([], dtype=np.float64),
+        "miny": pd.Series([], dtype=np.float64),
+        "maxx": pd.Series([], dtype=np.float64),
+        "maxy": pd.Series([], dtype=np.float64)}))
+
+
+def region_reduce(labels: Dataset, count_col: str, cell_bounds_fn,
+                  num_parts: int = 64) -> Dataset:
+    """Shared per-region reduce for the lattice polygonizers:
+    (u, region_id, nn) labels -> (region_id, <count_col>, total_n,
+    minx, miny, maxx, maxy).  ``cell_bounds_fn(u) -> (x_lo, y_lo,
+    x_hi, y_hi)`` gives each cell's contribution to the bbox (corners
+    for square tiles, centers for hex cells).  Per-batch pandas
+    partials + one hash_group_reduce; min/max over the per-cell floats
+    equals the transform of the min/max index bit-exactly because the
+    coordinate expressions are monotone in the cell index (IEEE
+    rounding preserves weak monotonicity), so the SQL twins'
+    aggregate-then-transform form matches."""
+    import pandas as pd
+
+    from ..functions.idjoin import hash_group_reduce
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["u"].to_numpy().astype(np.int64)
+        x_lo, y_lo, x_hi, y_hi = cell_bounds_fn(u)
+        g = pd.DataFrame(
+            {"region_id": df["region_id"].to_numpy().astype(np.int64),
+             count_col: np.ones(len(df), dtype=np.int64),
+             "total_n": df["nn"].to_numpy().astype(np.int64),
+             "x0": x_lo, "x1": x_hi, "y0": y_lo, "y1": y_hi})
+        return g.groupby("region_id", as_index=False).agg(
+            **{count_col: (count_col, "sum")},
+            total_n=("total_n", "sum"),
+            x0=("x0", "min"), x1=("x1", "max"),
+            y0=("y0", "min"), y1=("y1", "max"))
+
+    red = hash_group_reduce(
+        labels.map_batches(partial, batch_format="pandas"),
+        ["region_id"],
+        {count_col: (count_col, "sum"), "total_n": ("total_n", "sum"),
+         "x0": ("x0", "min"), "x1": ("x1", "max"),
+         "y0": ("y0", "min"), "y1": ("y1", "max")},
+        num_parts=num_parts)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "region_id": df["region_id"].to_numpy().astype(np.int64),
+            count_col: df[count_col].to_numpy().astype(np.int64),
+            "total_n": df["total_n"].to_numpy().astype(np.int64),
+            "minx": df["x0"].to_numpy().astype(np.float64),
+            "miny": df["y0"].to_numpy().astype(np.float64),
+            "maxx": df["x1"].to_numpy().astype(np.float64),
+            "maxy": df["y1"].to_numpy().astype(np.float64)})
+
+    return red.map_batches(finish, batch_format="pandas")
+
+
 def raster_regions(tile_values: Dataset, grid: GridSpec, threshold: int,
                    num_parts: int = 64,
                    single_task_max_tiles: int = 1 << 22) -> Dataset:
@@ -283,59 +351,18 @@ def raster_regions(tile_values: Dataset, grid: GridSpec, threshold: int,
     labels = label_regions(tile_values, "tile_id", edge_fn, threshold,
                            num_parts, single_task_max_tiles)
     if labels is None:
-        import ray.data
-
-        # a PANDAS block: Dataset.to_pandas() drops the schema of empty
-        # ARROW blocks (observed on Ray 2.49), but concatenating pandas
-        # blocks keeps the typed empty columns
-        return ray.data.from_pandas(pd.DataFrame({
-            "region_id": pd.Series([], dtype=np.int64),
-            "tile_count": pd.Series([], dtype=np.int64),
-            "total_n": pd.Series([], dtype=np.int64),
-            "minx": pd.Series([], dtype=np.float64),
-            "miny": pd.Series([], dtype=np.float64),
-            "maxx": pd.Series([], dtype=np.float64),
-            "maxy": pd.Series([], dtype=np.float64)}))
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        t = df["u"].to_numpy().astype(np.int64)
-        tx, ty = t % ppd, t // ppd
-        g = pd.DataFrame(
-            {"region_id": df["region_id"].to_numpy().astype(np.int64),
-             "tile_count": np.ones(len(df), dtype=np.int64),
-             "total_n": df["nn"].to_numpy().astype(np.int64),
-             "tx0": tx, "tx1": tx, "ty0": ty, "ty1": ty})
-        return g.groupby("region_id", as_index=False).agg(
-            tile_count=("tile_count", "sum"), total_n=("total_n", "sum"),
-            tx0=("tx0", "min"), tx1=("tx1", "max"),
-            ty0=("ty0", "min"), ty1=("ty1", "max"))
-
-    red = hash_group_reduce(
-        labels.map_batches(partial, batch_format="pandas"),
-        ["region_id"],
-        {"tile_count": ("tile_count", "sum"),
-         "total_n": ("total_n", "sum"),
-         "tx0": ("tx0", "min"), "tx1": ("tx1", "max"),
-         "ty0": ("ty0", "min"), "ty1": ("ty1", "max")},
-        num_parts=num_parts)
+        return region_empty("tile_count")
 
     gx0, gy0 = grid.minx, grid.miny
     cw, ch = grid.cell_w, grid.cell_h
 
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        tx0 = df["tx0"].to_numpy().astype(np.float64)
-        ty0 = df["ty0"].to_numpy().astype(np.float64)
-        tx1 = df["tx1"].to_numpy().astype(np.float64)
-        ty1 = df["ty1"].to_numpy().astype(np.float64)
-        return pd.DataFrame({
-            "region_id": df["region_id"].to_numpy().astype(np.int64),
-            "tile_count": df["tile_count"].to_numpy().astype(np.int64),
-            "total_n": df["total_n"].to_numpy().astype(np.int64),
-            "minx": gx0 + tx0 * cw, "miny": gy0 + ty0 * ch,
-            "maxx": gx0 + (tx1 + 1.0) * cw,
-            "maxy": gy0 + (ty1 + 1.0) * ch})
+    def bounds_fn(t: np.ndarray):
+        tx = (t % ppd).astype(np.float64)
+        ty = (t // ppd).astype(np.float64)
+        return (gx0 + tx * cw, gy0 + ty * ch,
+                gx0 + (tx + 1.0) * cw, gy0 + (ty + 1.0) * ch)
 
-    return red.map_batches(finish, batch_format="pandas")
+    return region_reduce(labels, "tile_count", bounds_fn, num_parts)
 
 
 def _tile_rect_soa(tid: np.ndarray, grid: GridSpec):
@@ -508,19 +535,31 @@ def zonal_area_weights(zones: Dataset, grid: GridSpec) -> Dataset:
                                 ("area", pa.float64())])
         if len(rows) == 0:
             return out_schema.empty_table()
+        from ..geometry.core import GT_BOX
         offs = offs.astype(np.int64)
         nv = ((offs[1:] - offs[:-1]) // 2).astype(np.int64)
-        C = int(nv.max())
+        is_box = gt == GT_BOX
+        nv_eff = np.where(is_box, 4, nv)      # boxes clip as 4-v rings
+        C = max(int(nv_eff.max()), 4)
         n = len(ids)
         # ragged rings -> (n, C) buffers, then gather per candidate pair
         vx = np.zeros((n, C))
         vy = np.zeros((n, C))
         cols = np.arange(C)[None, :]
-        mask = cols < nv[:, None]
+        mask = (cols < nv[:, None]) & ~is_box[:, None]
         flat_idx = offs[:-1, None] + 2 * cols
         vx[mask] = vals[flat_idx[mask]]
         vy[mask] = vals[flat_idx[mask] + 1]
-        X, Y, m = vx[rows], vy[rows], nv[rows]
+        if is_box.any():
+            # a GT_BOX row stores 2 corner points; expand to the CCW
+            # rectangle ring so it clips like any polygon (a 2-vertex
+            # "ring" would shoelace to zero and silently vanish)
+            b = np.flatnonzero(is_box)
+            vx[b, 0] = vx[b, 3] = minx[b]
+            vx[b, 1] = vx[b, 2] = maxx[b]
+            vy[b, 0] = vy[b, 1] = miny[b]
+            vy[b, 2] = vy[b, 3] = maxy[b]
+        X, Y, m = vx[rows], vy[rows], nv_eff[rows]
         tx = (cells % grid.ppd).astype(np.float64)
         ty = (cells // grid.ppd).astype(np.float64)
         x0 = grid.minx + tx * grid.cell_w
@@ -567,10 +606,12 @@ def areal_interpolate(zones: Dataset, tile_values: Dataset,
     Sum, both pair-cardinality."""
     import pandas as pd
 
-    from ..functions.idjoin import attach_i64_by_id, hash_group_reduce
+    from ..functions.idjoin import (attach_i64_by_id, filter_by_ids,
+                                    hash_group_reduce)
 
-    from ..functions.idjoin import filter_by_ids
-
+    # two consumers below (semi-join id side + attach lookup side): pin
+    # once or the whole upstream raster pipeline re-executes per use
+    tile_values = tile_values.materialize()
     # tiles absent from the (sparse) raster have value 0 and contribute
     # nothing: semi-join the weights down before the attach (which
     # requires every key present, by design)

@@ -133,3 +133,33 @@ def test_areal_interpolate_vs_pandas(ray_session):
         .sort_values("zone_id").reset_index(drop=True)
     assert (got["zone_id"] == want["zone_id"]).all()
     assert np.allclose(got["est"], want["est"], rtol=1e-12, atol=1e-12)
+
+
+def test_box_zones_clip_exactly(ray_session):
+    """GT_BOX zones (2-corner storage) must clip like rectangles, not
+    silently vanish as degenerate 2-vertex rings."""
+    import pyarrow as pa
+    import ray.data as rd
+    from hecatoncheir_ray.geometry.core import GT_BOX
+    from hecatoncheir_ray.pipelines.tiling import zonal_area_weights
+    # a 3x2 box aligned to cover 1.5 tiles in x, fully inside the grid
+    boxes = [(0, 2.5, 3.0, 5.5, 5.0), (1, 7.25, 7.25, 7.75, 7.75)]
+    flat = np.concatenate([[x0, y0, x1, y1]
+                           for _, x0, y0, x1, y1 in boxes])
+    offs = np.arange(0, 4 * len(boxes) + 1, 4, dtype=np.int32)
+    t = pa.table({
+        "id": pa.array([b[0] for b in boxes], pa.int64()),
+        "gtype": pa.array(np.full(len(boxes), GT_BOX, np.int8)),
+        "coords": pa.ListArray.from_arrays(
+            pa.array(offs), pa.array(flat, pa.float64())),
+        "minx": pa.array([b[1] for b in boxes], pa.float64()),
+        "miny": pa.array([b[2] for b in boxes], pa.float64()),
+        "maxx": pa.array([b[3] for b in boxes], pa.float64()),
+        "maxy": pa.array([b[4] for b in boxes], pa.float64())})
+    got = zonal_area_weights(rd.from_arrow(t), GRID).to_pandas()
+    sums = got.groupby("zone_id")["area"].sum()
+    for zid, x0, y0, x1, y1 in boxes:
+        want = (x1 - x0) * (y1 - y0)
+        assert abs(float(sums[zid]) - want) <= 1e-12 * want
+    # the sub-tile box covers exactly one tile
+    assert (got[got.zone_id == 1].shape[0]) == 1
