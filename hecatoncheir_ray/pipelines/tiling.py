@@ -337,9 +337,6 @@ def raster_regions(tile_values: Dataset, grid: GridSpec, threshold: int,
     Float policy: the bbox arithmetic is exactly two IEEE ops per bound
     (``grid_origin + index * cell_size``), written identically in the
     SQL twin — bit-exact checkable like quadkey/hex_sql."""
-    import pandas as pd
-
-    from ..functions.idjoin import hash_group_reduce
     ppd = grid.ppd
 
     def edge_fn(t: np.ndarray):
