@@ -74,6 +74,11 @@ class EngineConfig:
     # sub-cells (salting preserves the reference-point dedup rule because the
     # sub-cells partition the cell)
     hot_cell_rows: int = 4096
+    # detect_hot_cells row-sample fraction (deterministic coordinate-hash
+    # sample; floored so a hot cell still contributes >= 32 expected
+    # sampled replicas, and forced to 1.0 — exact counting — when
+    # hot_cell_rows is small enough that sampling could miss)
+    hot_cell_sample: float = 1.0 / 64.0
     salt_factor: int = 4                  # hot cells split salt_factor^2 ways
     # "split": refine hot cells into salt_factor^2 geometric sub-cells
     # (adaptive cell splitting — rows go only to sub-cells they overlap).

@@ -59,33 +59,69 @@ def compute_dataspace(*datasets: Dataset) -> tuple[float, float, float, float]:
 
 def detect_hot_cells(r: Dataset, s: Dataset, cfg: EngineConfig,
                      grid) -> np.ndarray:
-    """Cheap pre-pass: per-cell replicated-row counts -> cells above
-    cfg.hot_cell_rows.  Streams only the 4 MBR columns; each batch emits a
-    SPARSE (cell, n) partial, merged vectorized on the driver (the partials
-    are tiny: nonzero cells per batch, not ppd^2 dense rows)."""
+    """SAMPLED pre-pass: per-cell replicated-row counts over a
+    deterministic coordinate-hash row sample -> cells above the (scaled)
+    cfg.hot_cell_rows threshold.
+
+    Hot cells are by definition heavy, so a small sample finds them: at
+    the default fraction (cfg.hot_cell_sample = 1/64) a truly hot cell
+    (> hot_cell_rows = 4096 replicas) is expected to contribute > 64
+    sampled replicas, and we flag at HALF the scaled threshold — a 2x
+    safety margin against sample-hash variance (false positives only
+    cost splitting a merely-large cell, which is harmless; the fraction
+    is floored so the expected hot-cell sample count is >= 32).  With
+    fraction 1 (small thresholds, unit tests) the result is bit-identical
+    to the exhaustive count with cutoff > hot_cell_rows.
+
+    The sample hash mixes the bit patterns of all 4 MBR coordinates, so
+    the decision is stable across resharding / block layout.  Streams
+    only the 4 MBR columns once per side; each batch emits a SPARSE
+    (cell, n) partial over *sampled* rows, merged sparsely on the driver
+    (no ppd^2 dense array — at ppd=4096 that was a 128 MB driver alloc)."""
+    from ..functions.dedup import _mix
     from ..grid import explode_cells
 
-    ncell = grid.ppd * grid.ppd
+    frac = min(1.0, max(float(cfg.hot_cell_sample),
+                        32.0 / max(cfg.hot_cell_rows, 1)))
+    # threshold in SAMPLED units; margin 0.5 when sampling, exact when not
+    cutoff = (float(cfg.hot_cell_rows) if frac >= 1.0
+              else max(8.0, frac * cfg.hot_cell_rows * 0.5))
+    keep_below = np.uint64(int(frac * 2.0**64)) if frac < 1.0 else None
 
     def hist(batch):
         import pyarrow as pa
         minx = batch["minx"].to_numpy(zero_copy_only=False)
-        _, cells = explode_cells(grid, minx,
-                                 batch["miny"].to_numpy(zero_copy_only=False),
-                                 batch["maxx"].to_numpy(zero_copy_only=False),
-                                 batch["maxy"].to_numpy(zero_copy_only=False))
+        miny = batch["miny"].to_numpy(zero_copy_only=False)
+        maxx = batch["maxx"].to_numpy(zero_copy_only=False)
+        maxy = batch["maxy"].to_numpy(zero_copy_only=False)
+        if keep_below is not None:
+            h = _mix(minx.view(np.uint64)
+                     ^ _mix(miny.view(np.uint64)
+                            ^ _mix(maxx.view(np.uint64)
+                                   ^ _mix(maxy.view(np.uint64)))))
+            keep = h < keep_below
+            minx, miny = minx[keep], miny[keep]
+            maxx, maxy = maxx[keep], maxy[keep]
+        _, cells = explode_cells(grid, minx, miny, maxx, maxy)
         uc, cnt = np.unique(cells, return_counts=True)
         return pa.table({"cell": pa.array(uc, type=pa.int64()),
                          "n": pa.array(cnt.astype(np.int64))})
 
-    total = np.zeros(ncell, dtype=np.int64)
+    parts_c, parts_n = [], []
     for side in (r, s):
         part = side.select_columns(["minx", "miny", "maxx", "maxy"]) \
             .map_batches(hist, batch_format="pyarrow")
         for b in part.iter_batches(batch_format="pyarrow"):
-            np.add.at(total, b["cell"].to_numpy(zero_copy_only=False),
-                      b["n"].to_numpy(zero_copy_only=False))
-    return np.nonzero(total > cfg.hot_cell_rows)[0].astype(np.int64)
+            parts_c.append(b["cell"].to_numpy(zero_copy_only=False))
+            parts_n.append(b["n"].to_numpy(zero_copy_only=False))
+    if not parts_c:
+        return np.zeros(0, dtype=np.int64)
+    cells = np.concatenate(parts_c)
+    ns = np.concatenate(parts_n)
+    uc, inv = np.unique(cells, return_inverse=True)
+    total = np.zeros(len(uc), dtype=np.int64)
+    np.add.at(total, inv, ns)
+    return uc[total > cutoff].astype(np.int64)
 
 
 def spatial_join(r: Dataset, s: Dataset, predicate: str = "intersects",
@@ -177,6 +213,42 @@ def spatial_join(r: Dataset, s: Dataset, predicate: str = "intersects",
     # shuffle on the coarse hashed partition; the kernel fans back out to
     # fine cells internally (numpy sort, no per-cell task overhead)
     return both.groupby("part").map_groups(kernel, batch_format="pyarrow")
+
+
+# Auto broadcast-vs-shuffle switch point: above this many S rows the
+# broadcast path was measured SLOWER than the grid shuffle on this repo's
+# own bench (BENCH/BASELINE.md "Zonal path note": 150k zones broadcast =
+# 1.2-2.5x the shuffle wall), and every actor pays an S-index build in
+# __init__.  32k rows of (id, gtype, coords, mbr) stays comfortably in
+# worker heap and amortizes the per-actor build.
+BROADCAST_MAX_ROWS = 32768
+
+
+def spatial_join_auto(r: Dataset, s: Dataset,
+                      predicate: str = "intersects",
+                      cfg: EngineConfig | None = None,
+                      broadcast: bool | str = "auto",
+                      broadcast_max_rows: int = BROADCAST_MAX_ROWS,
+                      concurrency: int = 32) -> Dataset:
+    """Predicate join that picks the physical plan from S's size.
+
+    ``broadcast="auto"`` (default) probes S with a BOUNDED prefix count
+    — ``s.limit(max_rows + 1).count()`` — so the decision never scans
+    more than ``broadcast_max_rows + 1`` rows no matter how large S is
+    (streaming limit; parquet reads push the limit down).  S at or under
+    the threshold routes to the zero-shuffle
+    :func:`spatial_join_broadcast`; anything larger takes the grid
+    shuffle :func:`spatial_join`.  ``broadcast=True`` / ``False`` force
+    a path explicitly.  Both paths produce identical pair sets (parity
+    tested), so the switch is purely physical.
+    """
+    if broadcast == "auto":
+        broadcast = (s.limit(broadcast_max_rows + 1).count()
+                     <= broadcast_max_rows)
+    if broadcast:
+        return spatial_join_broadcast(r, s, predicate, cfg,
+                                      concurrency=concurrency)
+    return spatial_join(r, s, predicate, cfg)
 
 
 def spatial_join_broadcast(r: Dataset, s: Dataset,

@@ -410,7 +410,7 @@ def tile_boxes(tiles: Dataset, grid: GridSpec) -> Dataset:
 
 def zonal_stats(tiles: Dataset, zones: Dataset, grid: GridSpec,
                 predicate: str = "intersects", cfg=None,
-                broadcast: bool = True) -> Dataset:
+                broadcast: bool | str = "auto") -> Dataset:
     """Zonal statistics (the canonical raster x vector analysis): per
     zone polygon, aggregate the raster tiles whose rectangle satisfies
     ``predicate`` against the zone -> (zone_id, tile_count, total_n,
@@ -425,21 +425,22 @@ def zonal_stats(tiles: Dataset, zones: Dataset, grid: GridSpec,
     refinement), not rasterized-zone approximation; everything after
     the raster build is tile-cardinality.
 
-    ``broadcast=False`` routes pair discovery through the grid-shuffle
-    :func:`spatial_join` instead — the path for a zone layer too large
-    for worker memory (identical pair set; parity tested)."""
+    ``broadcast="auto"`` (default) picks the path from a BOUNDED prefix
+    count of the zone layer (``spatial_join_auto``): at or under
+    :data:`~..pipelines.spatial_join.BROADCAST_MAX_ROWS` zones the
+    zero-shuffle broadcast wins; above it the grid shuffle was measured
+    1.2-2.5x faster on this repo's own sf0.1 fixture (BENCH "Zonal path
+    note") — the probe itself never scans more than the threshold + 1
+    zone rows.  ``broadcast=True`` / ``False`` force a path (identical
+    pair set either way; parity tested)."""
     import pandas as pd
 
     from ..functions.idjoin import attach_i64_by_id, hash_group_reduce
-    from .spatial_join import spatial_join, spatial_join_broadcast
+    from .spatial_join import spatial_join_auto
 
     tiles = tiles.materialize()       # consumed twice: boxes + lookup
-    if broadcast:
-        pairs = spatial_join_broadcast(tile_boxes(tiles, grid), zones,
-                                       predicate, cfg)
-    else:
-        pairs = spatial_join(tile_boxes(tiles, grid), zones,
-                             predicate, cfg)
+    pairs = spatial_join_auto(tile_boxes(tiles, grid), zones,
+                              predicate, cfg, broadcast=broadcast)
     att = attach_i64_by_id(pairs, "r_id", tiles, "tile_id", "n", "n")
     red = hash_group_reduce(att, ["s_id"], {
         "tile_count": ("n", "count"), "total_n": ("n", "sum"),

@@ -94,3 +94,31 @@ def test_broadcast_partitioning_invariance(ray_session):
         rd.from_arrow(tp).repartition(16), rd.from_arrow(ts).repartition(7),
         "covered_by", _cfg(), concurrency=2))
     assert one == many and len(one) > 0
+
+
+def test_auto_path_selection_parity(ray_session):
+    """spatial_join_auto picks broadcast for small S and shuffle for
+    large S — identical pair sets on BOTH sides of the switch point
+    (the threshold is forced tiny so one layer sits on each side)."""
+    from hecatoncheir_ray import spatial_join_auto
+
+    tp = table_layer("points", 400, seed=61, bounds=BOUNDS)
+    ts = table_layer("polygons", 50, seed=62, bounds=BOUNDS,
+                     min_edge=3.0, max_edge=12.0, min_v=4, max_v=10)
+    r, s = rd.from_arrow(tp), rd.from_arrow(ts)
+    exp = _pairs(spatial_join(r, s, "intersects", _cfg()))
+
+    # S (50 rows) <= threshold -> broadcast path
+    assert _pairs(spatial_join_auto(r, s, "intersects", _cfg(),
+                                    broadcast_max_rows=64,
+                                    concurrency=2)) == exp
+    # S > threshold -> grid-shuffle path
+    assert _pairs(spatial_join_auto(r, s, "intersects", _cfg(),
+                                    broadcast_max_rows=8)) == exp
+    # explicit overrides still honored
+    assert _pairs(spatial_join_auto(r, s, "intersects", _cfg(),
+                                    broadcast=True,
+                                    concurrency=2)) == exp
+    assert _pairs(spatial_join_auto(r, s, "intersects", _cfg(),
+                                    broadcast=False)) == exp
+    assert len(exp) > 0

@@ -174,6 +174,39 @@ def test_auto_salt_skewed_layer(ray_session):
         == sorted((r["r_id"], r["s_id"]) for r in base.take_all())
 
 
+def test_hot_cell_detection_sampled_default(ray_session):
+    """At the DEFAULT threshold (hot_cell_rows=4096, sample fraction
+    1/64) detection runs the sampled branch: a 10k-row stacked cell is
+    flagged, a uniform layer flags nothing, and the flag set is stable
+    across resharding (coordinate-hash sampling, not block-positional)."""
+    import pyarrow as pa
+    import ray.data as rd2
+    from hecatoncheir_ray import detect_hot_cells
+    from hecatoncheir_ray.sources.synth import synth_points
+
+    ids = np.arange(12000, dtype=np.int64)
+    hot_box = (BOUNDS[0] + 0.1, BOUNDS[1] + 0.1,
+               BOUNDS[0] + 0.2, BOUNDS[1] + 0.2)
+    t_hot = synth_points(ids[:10000], seed=51, bounds=hot_box)
+    t_cold = synth_points(ids[10000:], seed=52, bounds=BOUNDS)
+    pts = pa.concat_tables([t_hot, t_cold])
+    cfg = EngineConfig(dataspace=BOUNDS, ppd=8)       # defaults: 4096, 1/64
+    grid = cfg.make_grid()
+    empty = rd2.from_arrow(pts.slice(0, 0))
+
+    hot = detect_hot_cells(rd2.from_arrow(pts), empty, cfg, grid)
+    # the crammed cell is cell (0,0)'s neighborhood: expect exactly it
+    assert len(hot) == 1
+    # resharding must not change the sampled decision
+    hot2 = detect_hot_cells(
+        rd2.from_arrow(pts).repartition(7), empty, cfg, grid)
+    assert list(hot) == list(hot2)
+    # a uniform 12k layer has no cell near 4096 replicas: nothing flagged
+    t_uni = synth_points(ids, seed=53, bounds=BOUNDS)
+    assert len(detect_hot_cells(rd2.from_arrow(t_uni), empty,
+                                cfg, grid)) == 0
+
+
 def _brute_dist_leq(ta, tb, d):
     """Driver-side oracle: dist(A,B) <= d via intersects OR min
     vertex-to-segment distance, computed per pair with plain numpy."""
