@@ -333,7 +333,7 @@ def minhash_band_rows(docs: Dataset, num_perm: int = 128, bands: int = 32,
     string key, kept as int64 so the shuffle sorts machine words."""
     r = num_perm // bands
 
-    def sig_rows(df: pd.DataFrame) -> pd.DataFrame:
+    def sig_rows(df: pd.DataFrame) -> pa.Table:
         bnd, hs, dids = [], [], []
         for did, text in zip(df["doc_id"], df["text"].fillna("")):
             sh = char_shingles(text, shingle_k)
@@ -346,12 +346,14 @@ def minhash_band_rows(docs: Dataset, num_perm: int = 128, bands: int = 32,
                 hs.append(np.uint64(key))
                 dids.append(int(did))
         h = np.array(hs, dtype=np.uint64)
-        return pd.DataFrame({
-            "band": np.array(bnd, dtype=np.int16),
-            "h": h.view(np.int64),
-            "doc_id": np.array(dids, dtype=np.int64),
-            "part": (_mix(h ^ np.uint64(0xB00))
-                     % np.uint64(num_parts)).astype(np.int64)})
+        # Arrow out: these 4 int columns are EXACTLY what the xbands LSH
+        # shuffle moves — no pandas->Arrow re-conversion at the exchange
+        return pa.table({
+            "band": pa.array(np.array(bnd, dtype=np.int16)),
+            "h": pa.array(h.view(np.int64)),
+            "doc_id": pa.array(np.array(dids, dtype=np.int64)),
+            "part": pa.array((_mix(h ^ np.uint64(0xB00))
+                              % np.uint64(num_parts)).astype(np.int64))})
 
     return docs.select_columns(["doc_id", "text"]) \
         .map_batches(sig_rows, batch_format="pandas")
@@ -457,24 +459,34 @@ def minhash_near_dup_pairs(docs: Dataset, threshold: float = 0.6,
 
     # stage A: co-partition pairs + shingles on doc_id_a; the kernel
     # DEDUPS the pair set (exactly-once emission) and attaches sh_a
-    def tag_pairs_a(df: pd.DataFrame) -> pd.DataFrame:
-        kv = df["doc_id_a"].to_numpy().astype(np.int64)
-        return pd.DataFrame({
-            "key": kv,
-            "doc_id_b": df["doc_id_b"].to_numpy().astype(np.int64),
-            "sh_a": np.full(len(df), b"", dtype=object),
-            "_tag": np.int8(0),
-            "_part": _part_of(kv, parts)})
+    # taggers are Arrow (int-column appends; the shingle blobs pass
+    # through as large_binary with no pandas round trip — VERDICT r4
+    # finding 2); the REDUCE kernels stay pandas (measured win)
+    def tag_pairs_a(t: pa.Table) -> pa.Table:
+        kv = t["doc_id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "key": pa.array(kv),
+            "doc_id_b": t["doc_id_b"].combine_chunks().cast(pa.int64()),
+            "sh_a": pa.array(np.full(len(kv), b"", dtype=object),
+                             type=pa.large_binary()),
+            "_tag": pa.array(np.zeros(len(kv), dtype=np.int8)),
+            "_part": pa.array(_part_of(kv, parts))})
 
-    def tag_sh_a(df: pd.DataFrame) -> pd.DataFrame:
-        kv = df["doc_id"].to_numpy().astype(np.int64)
-        return pd.DataFrame({
-            "key": kv,
-            "doc_id_b": np.zeros(len(df), dtype=np.int64),
-            "sh_a": df["sh"].to_numpy(),
-            "_tag": np.int8(1),
-            "_part": _part_of(kv, parts)})
+    def tag_sh_a(t: pa.Table) -> pa.Table:
+        kv = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "key": pa.array(kv),
+            "doc_id_b": pa.array(np.zeros(len(kv), dtype=np.int64)),
+            "sh_a": t["sh"].combine_chunks().cast(pa.large_binary()),
+            "_tag": pa.array(np.ones(len(kv), dtype=np.int8)),
+            "_part": pa.array(_part_of(kv, parts))})
 
+    # attach output and stage-B taggers stay PANDAS deliberately: sh_a
+    # repeats ONE bytes object per (a, partition) across its ~cluster-size
+    # pair rows, and pandas-block pickle memoizes repeated references —
+    # the stage-B exchange ships each blob once per block instead of once
+    # per pair (measured: an Arrow large_binary attach output materialized
+    # 890 MB on the sf0.1 fixture and doubled the pipeline wall)
     def attach_a_kernel(g: pd.DataFrame) -> pd.DataFrame:
         tags = g["_tag"].to_numpy()
         data = g[tags == 0]
@@ -496,8 +508,8 @@ def minhash_near_dup_pairs(docs: Dataset, threshold: float = 0.6,
                              "doc_id_b": pairs[:, 1],
                              "sh_a": pay[idx]})
 
-    withA = cand.map_batches(tag_pairs_a, batch_format="pandas") \
-        .union(sh.map_batches(tag_sh_a, batch_format="pandas")) \
+    withA = cand.map_batches(tag_pairs_a, batch_format="pyarrow") \
+        .union(sh.map_batches(tag_sh_a, batch_format="pyarrow")) \
         .groupby("_part").map_groups(attach_a_kernel,
                                      batch_format="pandas")
 
@@ -775,9 +787,12 @@ def hamming_near_dup_pairs(ds: Dataset, id_col: str, hash_col: str,
     width = 64 // num_bands
     mask = np.uint64((1 << width) - 1)
 
-    def sig_rows(df: pd.DataFrame) -> pd.DataFrame:
-        dids = df[id_col].to_numpy().astype(np.int64)
-        hs = df[hash_col].to_numpy().astype(np.int64).view(np.uint64)
+    def sig_rows(t: pa.Table) -> pa.Table:
+        # pure int transform: Arrow in, Arrow out (no pandas round trip
+        # on the rows entering the band shuffle)
+        dids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        hs = t[hash_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64).view(np.uint64)
         n = len(dids)
         band = np.tile(np.arange(num_bands, dtype=np.int16), n)
         didn = np.repeat(dids, num_bands)
@@ -786,10 +801,12 @@ def hamming_near_dup_pairs(ds: Dataset, id_col: str, hash_col: str,
                & mask).astype(np.int64)
         bid = band.astype(np.uint64) * (mask + np.uint64(1)) \
             + key.astype(np.uint64)
-        return pd.DataFrame({
-            "band": band, "key": key, "doc_id": didn,
-            "sig": sign.view(np.int64),
-            "part": (_mix(bid) % np.uint64(num_parts)).astype(np.int64)})
+        return pa.table({
+            "band": pa.array(band), "key": pa.array(key),
+            "doc_id": pa.array(didn),
+            "sig": pa.array(sign.view(np.int64)),
+            "part": pa.array((_mix(bid)
+                              % np.uint64(num_parts)).astype(np.int64))})
 
     def verify_kernel(g: pd.DataFrame) -> pd.DataFrame:
         band = g["band"].to_numpy()
@@ -833,7 +850,7 @@ def hamming_near_dup_pairs(ds: Dataset, id_col: str, hash_col: str,
         return pd.DataFrame({"doc_id_a": lo, "doc_id_b": hi})
 
     pairs = ds.select_columns([id_col, hash_col]) \
-        .map_batches(sig_rows, batch_format="pandas") \
+        .map_batches(sig_rows, batch_format="pyarrow") \
         .groupby("part").map_groups(verify_kernel, batch_format="pandas")
     return _sorted_pairs_df(pairs)
 
@@ -884,11 +901,12 @@ def embedding_near_dups(vecs: Dataset, threshold: float = 0.95,
                & np.uint64((1 << r) - 1)).astype(np.int32)
         bid = band.astype(np.uint64) * np.uint64(1 << r) \
             + key.astype(np.uint64)
-        return pd.DataFrame({
-            "band": band, "key": key, "vec_id": vid,
-            "bits64": b64.view(np.int64),
-            "part": (_mix(bid ^ np.uint64(0xE3)) % np.uint64(num_parts))
-            .astype(np.int64)})
+        return pa.table({
+            "band": pa.array(band), "key": pa.array(key),
+            "vec_id": pa.array(vid),
+            "bits64": pa.array(b64.view(np.int64)),
+            "part": pa.array((_mix(bid ^ np.uint64(0xE3))
+                              % np.uint64(num_parts)).astype(np.int64))})
 
     def cand_kernel(g: pd.DataFrame) -> pd.DataFrame:
         band = g["band"].to_numpy()
@@ -937,41 +955,47 @@ def embedding_near_dups(vecs: Dataset, threshold: float = 0.95,
         return _EMPTY_PAIRS.copy().rename(
             columns={"doc_id_a": "vec_id_a", "doc_id_b": "vec_id_b"})
 
-    def wrows(df: pd.DataFrame) -> pd.DataFrame:
+    def wrows(df: pd.DataFrame) -> pa.Table:
         emb = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-        return pd.DataFrame({
-            "vec_id": df["vec_id"].to_numpy().astype(np.int64),
-            "w": [x.tobytes() for x in qnorm_matrix(emb)]})
+        return pa.table({
+            "vec_id": pa.array(df["vec_id"].to_numpy().astype(np.int64)),
+            "w": pa.array([x.tobytes() for x in qnorm_matrix(emb)],
+                          type=pa.large_binary())})
 
     # pinned ONCE (two consumers: tag_w_a + tag_w_b) — same rule as the
     # minhash shingle table above
     wt = sel.map_batches(wrows, batch_format="pandas").materialize()
 
-    # attach w_a (pairs co-partitioned with the qnorm table on the A id)
-    def tag_pairs_a(df: pd.DataFrame) -> pd.DataFrame:
-        kv = df["doc_id_a"].to_numpy().astype(np.int64)
-        return pd.DataFrame({
-            "key": kv,
-            "doc_id_b": df["doc_id_b"].to_numpy().astype(np.int64),
-            "w_a": np.full(len(df), b"", dtype=object),
-            "_tag": np.int8(0), "_part": _part_of(kv, num_parts)})
+    # attach w_a (pairs co-partitioned with the qnorm table on the A id);
+    # Arrow taggers, pandas reduce kernels — same split as minhash above
+    def tag_pairs_a(t: pa.Table) -> pa.Table:
+        kv = t["doc_id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "key": pa.array(kv),
+            "doc_id_b": t["doc_id_b"].combine_chunks().cast(pa.int64()),
+            "w_a": pa.array(np.full(len(kv), b"", dtype=object),
+                            type=pa.large_binary()),
+            "_tag": pa.array(np.zeros(len(kv), dtype=np.int8)),
+            "_part": pa.array(_part_of(kv, num_parts))})
 
-    def tag_w_a(df: pd.DataFrame) -> pd.DataFrame:
-        kv = df["vec_id"].to_numpy().astype(np.int64)
-        return pd.DataFrame({
-            "key": kv,
-            "doc_id_b": np.zeros(len(df), dtype=np.int64),
-            "w_a": df["w"].to_numpy(),
-            "_tag": np.int8(1), "_part": _part_of(kv, num_parts)})
+    def tag_w_a(t: pa.Table) -> pa.Table:
+        kv = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "key": pa.array(kv),
+            "doc_id_b": pa.array(np.zeros(len(kv), dtype=np.int64)),
+            "w_a": t["w"].combine_chunks().cast(pa.large_binary()),
+            "_tag": pa.array(np.ones(len(kv), dtype=np.int8)),
+            "_part": pa.array(_part_of(kv, num_parts))})
 
-    def attach_a_kernel(g: pd.DataFrame) -> pd.DataFrame:
+    _ATTACH_W = pa.schema([("doc_id_a", pa.int64()),
+                           ("doc_id_b", pa.int64()),
+                           ("w_a", pa.large_binary())])
+
+    def attach_a_kernel(g: pd.DataFrame) -> pa.Table:
         tags = g["_tag"].to_numpy()
         data = g[tags == 0]
         if len(data) == 0:
-            return pd.DataFrame({
-                "doc_id_a": pd.Series([], dtype=np.int64),
-                "doc_id_b": pd.Series([], dtype=np.int64),
-                "w_a": pd.Series([], dtype=object)})
+            return _ATTACH_W.empty_table()
         look = g[tags == 1]
         lk = look["key"].to_numpy().astype(np.int64)
         order = np.argsort(lk)
@@ -981,32 +1005,38 @@ def embedding_near_dups(vecs: Dataset, threshold: float = 0.95,
              data["doc_id_b"].to_numpy().astype(np.int64)], axis=1),
             axis=0)
         idx = np.searchsorted(lk, pairs_arr[:, 0])
-        return pd.DataFrame({"doc_id_a": pairs_arr[:, 0],
-                             "doc_id_b": pairs_arr[:, 1],
-                             "w_a": pay[idx]})
+        return pa.table({"doc_id_a": pa.array(pairs_arr[:, 0]),
+                         "doc_id_b": pa.array(pairs_arr[:, 1]),
+                         "w_a": pa.array(pay[idx],
+                                         type=pa.large_binary())},
+                        schema=_ATTACH_W)
 
-    withA = cand.map_batches(tag_pairs_a, batch_format="pandas") \
-        .union(wt.map_batches(tag_w_a, batch_format="pandas")) \
+    withA = cand.map_batches(tag_pairs_a, batch_format="pyarrow") \
+        .union(wt.map_batches(tag_w_a, batch_format="pyarrow")) \
         .groupby("_part").map_groups(attach_a_kernel,
                                      batch_format="pandas")
 
-    def tag_pairs_b(df: pd.DataFrame) -> pd.DataFrame:
-        kv = df["doc_id_b"].to_numpy().astype(np.int64)
-        return pd.DataFrame({
-            "key": kv,
-            "doc_id_a": df["doc_id_a"].to_numpy().astype(np.int64),
-            "w_a": df["w_a"].to_numpy(),
-            "w": np.full(len(df), b"", dtype=object),
-            "_tag": np.int8(0), "_part": _part_of(kv, num_parts)})
+    def tag_pairs_b(t: pa.Table) -> pa.Table:
+        kv = t["doc_id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "key": pa.array(kv),
+            "doc_id_a": t["doc_id_a"].combine_chunks().cast(pa.int64()),
+            "w_a": t["w_a"].combine_chunks().cast(pa.large_binary()),
+            "w": pa.array(np.full(len(kv), b"", dtype=object),
+                          type=pa.large_binary()),
+            "_tag": pa.array(np.zeros(len(kv), dtype=np.int8)),
+            "_part": pa.array(_part_of(kv, num_parts))})
 
-    def tag_w_b(df: pd.DataFrame) -> pd.DataFrame:
-        kv = df["vec_id"].to_numpy().astype(np.int64)
-        return pd.DataFrame({
-            "key": kv,
-            "doc_id_a": np.zeros(len(df), dtype=np.int64),
-            "w_a": np.full(len(df), b"", dtype=object),
-            "w": df["w"].to_numpy(),
-            "_tag": np.int8(1), "_part": _part_of(kv, num_parts)})
+    def tag_w_b(t: pa.Table) -> pa.Table:
+        kv = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "key": pa.array(kv),
+            "doc_id_a": pa.array(np.zeros(len(kv), dtype=np.int64)),
+            "w_a": pa.array(np.full(len(kv), b"", dtype=object),
+                            type=pa.large_binary()),
+            "w": t["w"].combine_chunks().cast(pa.large_binary()),
+            "_tag": pa.array(np.ones(len(kv), dtype=np.int8)),
+            "_part": pa.array(_part_of(kv, num_parts))})
 
     def verify_kernel(g: pd.DataFrame) -> pd.DataFrame:
         tags = g["_tag"].to_numpy()
@@ -1030,8 +1060,8 @@ def embedding_near_dups(vecs: Dataset, threshold: float = 0.95,
         ok = np.einsum("ij,ij->i", wa_m, wb_m) >= t_int
         return pd.DataFrame({"doc_id_a": ka[ok], "doc_id_b": kb[ok]})
 
-    pairs = withA.map_batches(tag_pairs_b, batch_format="pandas") \
-        .union(wt.map_batches(tag_w_b, batch_format="pandas")) \
+    pairs = withA.map_batches(tag_pairs_b, batch_format="pyarrow") \
+        .union(wt.map_batches(tag_w_b, batch_format="pyarrow")) \
         .groupby("_part").map_groups(verify_kernel,
                                      batch_format="pandas")
     return _sorted_pairs_df(pairs).rename(

