@@ -707,7 +707,7 @@ def _q_image_verify_jpeg(sf_dir: str):
     ds = ray_image_table(200, seed=42, fmt="jpeg").map_batches(
         make_verify_fn(42), batch_format="pyarrow",
         batch_size=64).materialize()
-    bad = ds.filter(lambda r: not (r["psnr_ok"] and r["caption_ok"]))
+    bad = ds.filter(expr="psnr_ok == False or caption_ok == False")
     if bad.count() > 0:
         raise AssertionError("jpeg verify invariant violated")
     return ds
@@ -727,7 +727,7 @@ def _q_audio_features(sf_dir: str):
     ds = ray_audio_table(400, seed=42).materialize()
     bad = ds.map_batches(make_audio_verify_fn(42), batch_format="pyarrow",
                          batch_size=128) \
-        .filter(lambda r: not (r["pcm_ok"] and r["caption_ok"]))
+        .filter(expr="pcm_ok == False or caption_ok == False")
     if bad.count() > 0:
         raise AssertionError("audio verify invariant violated")
     # concurrency=(1,2): leave CPUs for the producer stage even in a
@@ -749,7 +749,7 @@ def _q_audio_codec_verify(sf_dir: str):
     ds = ray_audio_table(300, seed=42, fmts="mixed").map_batches(
         make_audio_verify_fn(42), batch_format="pyarrow",
         batch_size=128).materialize()   # 2 consumers: assert + return
-    bad = ds.filter(lambda r: not (r["pcm_ok"] and r["caption_ok"]))
+    bad = ds.filter(expr="pcm_ok == False or caption_ok == False")
     if bad.count() > 0:
         raise AssertionError("audio codec verify invariant violated")
     return ds
@@ -767,7 +767,7 @@ def _q_video_codec_verify(sf_dir: str):
     ds = ray_video_table(150, seed=42, fmts="mixed").map_batches(
         make_video_verify_fn(42), batch_format="pyarrow",
         batch_size=64).materialize()    # 2 consumers: assert + return
-    bad = ds.filter(lambda r: not (r["frames_ok"] and r["caption_ok"]))
+    bad = ds.filter(expr="frames_ok == False or caption_ok == False")
     if bad.count() > 0:
         raise AssertionError("video codec verify invariant violated")
     return ds
@@ -786,7 +786,7 @@ def _q_video_frame_sample(sf_dir: str):
     ds = ray_video_table(200, seed=42).materialize()
     bad = ds.map_batches(make_video_verify_fn(42), batch_format="pyarrow",
                          batch_size=64) \
-        .filter(lambda r: not (r["frames_ok"] and r["caption_ok"]))
+        .filter(expr="frames_ok == False or caption_ok == False")
     if bad.count() > 0:
         raise AssertionError("video verify invariant violated")
     return ds.map_batches(SampleVideoFrames, concurrency=(1, 2),
@@ -1094,7 +1094,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_cover_polygons": _q_tile_cover_polygons,
         "image_tile_assignments": _q_image_tile_assignments,
         "image_poly_join": _q_image_poly_join,
-        "image_verify": _q_image_verify,
+        # hex index (H3 side of the north rule): full SQL oracle, rotated
+        # into the recorded window for round 5 in place of image_verify
+        # (superseded by image_verify_jpeg — both rows-only PSNR checks)
+        "hex_counts_points": _q_hex_counts_points,
         # multimodal queries sit INSIDE the first 50 entries: the round-3
         # driver recorded exactly 50 CORRECTNESS rows for 52 registered
         # queries, silently dropping the tail — order = priority
@@ -1148,10 +1151,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_codec_verify": _q_audio_codec_verify,
         "video_codec_verify": _q_video_codec_verify,
         # hex index (H3 side of the north rule's "H3/S2 index"): full SQL
-        # oracles; driver-window overflow is covered by the same-compare
+        # oracle; driver-window overflow is covered by the same-compare
         # contract test (tests/test_entry_contract.py) at sf0.001
+        # (hex_counts_points rotated INTO the window above, round 5)
         "hex_assignment_points": _q_hex_assignment_points,
-        "hex_counts_points": _q_hex_counts_points,
+        # rows-only PSNR+caption check, superseded in-window by
+        # image_verify_jpeg (the lossy variant subsumes the lossless
+        # plumbing); its hard signal is the in-query assertion either way
+        "image_verify": _q_image_verify,
         # rows-only with an in-query completeness oracle (brute popcount)
         "image_phash_near_dups": _q_image_phash_near_dups,
         # same join + oracle as poly_join_pairs, forced through the

@@ -178,7 +178,9 @@ def decode_rows(t: pa.Table, skip_undecodable: bool = False):
             try:
                 adp_out[k] = adpcm_decode(bufs[k])
             except Exception:
-                pass
+                # typed skip: leave the row to the per-row path below,
+                # which re-raises (or skips) with the real codec error
+                continue
     mids, pcms, srs = [], [], []
     for k, (mid, fmt, buf) in enumerate(zip(mids_in, fmts, bufs)):
         try:

@@ -91,17 +91,22 @@ def test_query_priority_ordering(entrymod):
     multimodal rows-only queries must sit well inside the first 50, and
     only designated thin wrappers may occupy the tail slots."""
     names = list(entrymod.queries())
-    for q in ("image_verify", "image_verify_jpeg", "audio_features",
+    for q in ("image_verify_jpeg", "audio_features",
               "video_frame_sample"):
         assert names.index(q) < 50, q
     assert names.index("image_poly_join") < 50
+    # round-5 rotation: the hex-count SQL oracle takes image_verify's
+    # recorded slot (image_verify_jpeg subsumes the lossless PSNR check)
+    assert names.index("hex_counts_points") < 50
     assert set(names[50:]) <= {"doc_sample", "doc_lang_hist",
                                "box_join_count", "audio_codec_verify",
                                "video_codec_verify",
-                               # full SQL oracles; window overflow is
+                               # rows-only; in-query PSNR+caption oracle,
+                               # superseded in-window by image_verify_jpeg
+                               "image_verify",
+                               # full SQL oracle; window overflow is
                                # covered by this module's same-compare
                                "hex_assignment_points",
-                               "hex_counts_points",
                                # core rides doc_len_quantiles + the
                                # two windowed/grouped pytest oracles
                                "event_value_quantiles",

@@ -102,7 +102,7 @@ def test_ray_video_pipeline(ray_session):
     ds = ray_video_table(60, seed=42)
     bad = ds.map_batches(make_video_verify_fn(42), batch_format="pyarrow",
                          batch_size=32) \
-        .filter(lambda r: not (r["frames_ok"] and r["caption_ok"]))
+        .filter(expr="frames_ok == False or caption_ok == False")
     assert bad.count() == 0
     frames = ds.map_batches(SampleVideoFrames, fn_constructor_kwargs={},
                             concurrency=2, batch_format="pyarrow",
