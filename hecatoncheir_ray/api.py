@@ -121,8 +121,33 @@ class Hecatoncheir:
             self.cfg.dataspace = (minx - w, miny - h, maxx + w, maxy + h)
         return 0
 
+    #: accepted index types (reference include/containers.h:1998-2107,
+    #: IT_TWO_LAYER / IT_UNIFORM_GRID).  Both map to the SAME physical
+    #: plan here: the reference's uniform grid assigns an object to every
+    #: overlapped cell and dedups join pairs by reference point, while
+    #: its two-layer variant pre-classifies objects into A/B/C/D corner
+    #: classes to skip the dedup — two traversals of one partitioning.
+    #: Under Ray Data the groupby(cell) shuffle materializes the exact
+    #: same (cell, object) assignment, and the sweep kernel applies the
+    #: reference-point rule (grid.py:67), which is the uniform-grid
+    #: dedup semantics and provably emits each pair exactly once — the
+    #: identical pair set the two-layer classes produce.  Equivalence is
+    #: pinned by tests/test_api.py::test_index_type_equivalence on the
+    #: reference's own golden scenarios.
+    INDEX_TYPES = ("two_layer", "uniform_grid")
+
     def build_index(self, ids, index_type: str = "two_layer") -> int:
-        """Logical no-op: the groupby(cell) shuffle IS the index build."""
+        """Logical no-op: the groupby(cell) shuffle IS the index build.
+
+        ``index_type`` is validated (no silent string acceptance); see
+        INDEX_TYPES for why both reference flags share one plan."""
+        it = index_type.lower().removeprefix("it_")
+        if it not in self.INDEX_TYPES:
+            raise ValueError(
+                f"unknown index type {index_type!r}; expected one of "
+                f"{self.INDEX_TYPES} (reference IT_TWO_LAYER / "
+                f"IT_UNIFORM_GRID, containers.h:1998)")
+        self._index_type = it
         return 0
 
     def unload_dataset(self, did: int) -> int:

@@ -56,3 +56,40 @@ def test_reference_driver_flow(ray_session):
     eng.partition([p, q])
     n = eng.query(DistanceJoinQuery(p, q, 0, QR_COUNT, 7.65))
     assert n == 5
+
+
+def test_index_type_equivalence(ray_session):
+    """IT_TWO_LAYER and IT_UNIFORM_GRID are two traversals of the same
+    partitioning (reference containers.h:1998-2107); here both flags map
+    to the one groupby(cell) + reference-point plan.  Pin that the flag
+    changes nothing on the reference's own golden scenarios, and that
+    unknown flags are rejected (no silent string acceptance)."""
+    results = {}
+    for it in ("two_layer", "uniform_grid", "IT_UNIFORM_GRID"):
+        eng = Hecatoncheir()
+        r = eng.prepare_dataset(f"{SAMPLES}/data_sample_polygons_1.wkt",
+                                "WKT", "POLYGON")
+        s = eng.prepare_dataset(f"{SAMPLES}/data_sample_polygons_2.wkt",
+                                "WKT", "POLYGON")
+        eng.partition([r, s])
+        assert eng.build_index([r, s], it) == 0
+        hist = eng.query(PredicateJoinQuery(r, s, 0, "find_relation",
+                                            QR_COUNT))
+        pairs = eng.query(PredicateJoinQuery(r, s, 0, "intersects",
+                                             QR_COLLECT))
+        p = eng.prepare_dataset(f"{SAMPLES}/data_sample_points.wkt",
+                                "WKT", "POINT")
+        eng.partition([p])
+        eng.build_index([p], it)
+        knn = eng.query_batch(eng.load_knn_queries_from_file(
+            f"{SAMPLES}/query_sample_points.wkt", "WKT", p, k=2))
+        results[it] = (
+            sorted(zip(hist["relation_name"], hist["pair_count"])),
+            sorted(zip(pairs["r_id"], pairs["s_id"])),
+            {k: list(v) for k, v in knn.items()})
+    assert results["two_layer"] == results["uniform_grid"]
+    assert results["two_layer"] == results["IT_UNIFORM_GRID"]
+
+    eng = Hecatoncheir()
+    with pytest.raises(ValueError, match="unknown index type"):
+        eng.build_index([], "rtree")
