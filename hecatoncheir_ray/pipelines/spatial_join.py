@@ -124,6 +124,26 @@ def detect_hot_cells(r: Dataset, s: Dataset, cfg: EngineConfig,
     return uc[total > cutoff].astype(np.int64)
 
 
+def _april_reusable(ds: Dataset, order: int, bounds) -> bool:
+    """True when ``ds`` already carries april_all/april_full columns
+    whose persisted raster (bounds, order) matches this join's raster
+    space (schema metadata written by persist_april).  A mismatched or
+    unverifiable persisted raster must be regenerated — interval lists
+    from different raster spaces are not comparable."""
+    from ..april import april_meta_of
+    if "april_all" not in ds.schema().names:
+        return False
+    m = april_meta_of(ds)
+    if m is None:
+        # in-pipeline columns (no persist roundtrip): trust the caller,
+        # matching pre-metadata behavior
+        return True
+    return (m.get("order") == order
+            and len(m.get("bounds", [])) == 4
+            and all(float(a) == float(b)
+                    for a, b in zip(m["bounds"], bounds)))
+
+
 def spatial_join(r: Dataset, s: Dataset, predicate: str = "intersects",
                  cfg: EngineConfig | None = None,
                  hot_cells: np.ndarray | None = None,
@@ -156,21 +176,11 @@ def spatial_join(r: Dataset, s: Dataset, predicate: str = "intersects",
         # raster space (schema metadata written by persist_april); a
         # mismatched or unverifiable persisted raster is regenerated, as
         # interval lists from different raster spaces are not comparable.
-        from ..april import april_meta_of, make_april_fn
+        from ..april import make_april_fn
         gen = make_april_fn(bounds, cfg.april_n)
 
         def reusable(ds) -> bool:
-            if "april_all" not in ds.schema().names:
-                return False
-            m = april_meta_of(ds)
-            if m is None:
-                # in-pipeline columns (no persist roundtrip): trust the
-                # caller, matching pre-metadata behavior
-                return True
-            return (m.get("order") == cfg.april_n
-                    and len(m.get("bounds", [])) == 4
-                    and all(float(a) == float(b)
-                            for a, b in zip(m["bounds"], bounds)))
+            return _april_reusable(ds, cfg.april_n, bounds)
 
         if reusable(r):
             r2 = r.select_columns(GEOM_COLS + ["april_all", "april_full"])
@@ -271,15 +281,19 @@ def spatial_join_broadcast(r: Dataset, s: Dataset,
     (stages/sweep.refine_mask / classify_relations) as the shuffle
     path — results are identical by construction.
 
-    The APRIL intermediate filter is intentionally not applied here:
-    this path targets small-S joins where per-pair refinement is cheap;
-    use :func:`spatial_join` when both sides are large.
+    ``cfg.intermediate_filter`` turns on the APRIL intermediate filter
+    (J5/J6) on this path too: S's interval lists are built ONCE —
+    distributed, before the pin — and each actor generates R's lists
+    per batch, so the 6x kernel-CPU win ``bench.py --april`` measures
+    for heavy polygon sides applies without any shuffle.  Off by
+    default: for a small/cheap S the per-batch R rasterization costs
+    more than the refinement it skips (see BASELINE.md APRIL notes).
     """
     import pyarrow as pa
     from ..grid import explode_cells
     from ..stages.assign import geoms_from_table
-    from ..stages.sweep import (PAIR_SCHEMA, REL_SCHEMA, classify_relations,
-                                refine_mask)
+    from ..stages.sweep import (PAIR_SCHEMA, REL_SCHEMA, _list_col_np,
+                                classify_relations, refine_mask)
     if predicate not in PREDICATES:
         raise ValueError(f"unknown predicate {predicate!r}")
     cfg = cfg or EngineConfig()
@@ -288,7 +302,21 @@ def spatial_join_broadcast(r: Dataset, s: Dataset,
     find_rel = predicate == "find_relation"
     schema = REL_SCHEMA if find_rel else PAIR_SCHEMA
 
-    s_mat = s.select_columns(GEOM_COLS).materialize()
+    use_april = cfg.intermediate_filter
+    gen = None
+    if use_april:
+        from ..april import make_april_fn
+        gen = make_april_fn(bounds, cfg.april_n)
+        if _april_reusable(s, cfg.april_n, bounds):
+            s_prep = s.select_columns(GEOM_COLS
+                                      + ["april_all", "april_full"])
+        else:
+            # rasterize BEFORE the pin: distributed tasks, once per S row
+            s_prep = s.select_columns(GEOM_COLS) \
+                .map_batches(gen, batch_format="pyarrow")
+    else:
+        s_prep = s.select_columns(GEOM_COLS)
+    s_mat = s_prep.materialize()
     if s_mat.count() == 0:
         return ray.data.from_arrow(schema.empty_table())
     # block refs, not take_all: blocks stay in the object store; actors
@@ -307,6 +335,11 @@ def spatial_join_broadcast(r: Dataset, s: Dataset,
             # below must not wrap once S+batch values pass 2^31
             self.s_offs = self.s_offs.astype(np.int64)
             self.n_s = len(self.s_ids)
+            if use_april:
+                sao, sav = _list_col_np(st, "april_all")
+                sfo, sfv = _list_col_np(st, "april_full")
+                self.s_april = (np.asarray(sao, dtype=np.int64), sav,
+                                np.asarray(sfo, dtype=np.int64), sfv)
             # cell -> S-row bucket index (CSR over sorted unique cells)
             srow, scell = explode_cells(grid, self.s_minx, self.s_miny,
                                         self.s_maxx, self.s_maxy)
@@ -364,13 +397,30 @@ def spatial_join_broadcast(r: Dataset, s: Dataset,
                    np.concatenate([self.s_maxx, r_maxx]),
                    np.concatenate([self.s_maxy, r_maxy]))
             gri = gr + self.n_s
+            april = None
+            if use_april:
+                # R's interval lists for THIS batch (S's were built once
+                # before the pin); combined S-then-R row indexing mirrors
+                # the geometry SoA above.  Pre-rasterized inputs
+                # (load_april / persist_april, checked at plan time) pass
+                # through; everything else rasterizes here
+                t_a = t if "april_all" in t.column_names else gen(t)
+                rao, rav = _list_col_np(t_a, "april_all")
+                rfo, rfv = _list_col_np(t_a, "april_full")
+                sao, sav, sfo, sfv = self.s_april
+                rao = np.asarray(rao, dtype=np.int64)
+                rfo = np.asarray(rfo, dtype=np.int64)
+                april = (np.concatenate([sao, rao[1:] + sao[-1]]),
+                         np.concatenate([sav, rav]),
+                         np.concatenate([sfo, rfo[1:] + sfo[-1]]),
+                         np.concatenate([sfv, rfv]))
             if find_rel:
-                rel = classify_relations(cfg, geo, gri, gs)
+                rel = classify_relations(cfg, geo, gri, gs, april)
                 return pa.table({"r_id": r_ids[gr],
                                  "s_id": self.s_ids[gs],
                                  "relation": rel}, schema=REL_SCHEMA)
             keep = (np.ones(len(gri), dtype=bool) if not cfg.refinement
-                    else refine_mask(cfg, geo, gri, gs, predicate))
+                    else refine_mask(cfg, geo, gri, gs, predicate, april))
             return pa.table({"r_id": r_ids[gr[keep]],
                              "s_id": self.s_ids[gs[keep]]},
                             schema=PAIR_SCHEMA)
@@ -380,7 +430,10 @@ def spatial_join_broadcast(r: Dataset, s: Dataset,
     # cluster's CPU count — the upstream read task can never schedule
     # (observed: 4-actor pool + 4-CPU session hangs on ReadParquet).
     # min=1 always leaves headroom; Ray scales the pool up as CPUs free.
-    return r.select_columns(GEOM_COLS).map_batches(
+    r_cols = list(GEOM_COLS)
+    if use_april and _april_reusable(r, cfg.april_n, bounds):
+        r_cols += ["april_all", "april_full"]
+    return r.select_columns(r_cols).map_batches(
         BroadcastJoin, batch_format="pyarrow",
         concurrency=(1, max(1, concurrency)))
 

@@ -96,6 +96,57 @@ def test_broadcast_partitioning_invariance(ray_session):
     assert one == many and len(one) > 0
 
 
+@pytest.mark.parametrize("predicate", ["intersects", "covered_by",
+                                       "find_relation"])
+def test_broadcast_april_parity(ray_session, predicate):
+    """APRIL intermediate filter ON the broadcast path (r5): must change
+    nothing vs filter-off broadcast AND vs the filter-on shuffle path —
+    the same three-way stage-equivalence rule the shuffle path holds."""
+    tr = table_layer("polygons", 200, seed=71, bounds=BOUNDS,
+                     min_edge=2.0, max_edge=9.0, min_v=4, max_v=10)
+    ts = table_layer("polygons", 55, seed=72, bounds=BOUNDS,
+                     min_edge=2.0, max_edge=9.0, min_v=4, max_v=10)
+    r, s = rd.from_arrow(tr), rd.from_arrow(ts)
+    cfg_on = EngineConfig(dataspace=BOUNDS, ppd=8,
+                          intermediate_filter=True)
+
+    def rows(ds):
+        if predicate == "find_relation":
+            return sorted((x["r_id"], x["s_id"], x["relation"])
+                          for x in ds.take_all())
+        return _pairs(ds)
+
+    got = rows(spatial_join_broadcast(r, s, predicate, cfg_on,
+                                      concurrency=2))
+    assert got == rows(spatial_join_broadcast(r, s, predicate, _cfg(),
+                                              concurrency=2))
+    assert got == rows(spatial_join(r, s, predicate, cfg_on))
+    assert len(got) > 0
+
+
+def test_broadcast_april_reuses_persisted(ray_session, tmp_path):
+    """Pre-rasterized inputs (persist_april roundtrip) skip regeneration
+    on BOTH sides of the broadcast path and still match filter-off."""
+    from hecatoncheir_ray.april import load_april, persist_april
+    tr = table_layer("polygons", 120, seed=73, bounds=BOUNDS,
+                     min_edge=2.0, max_edge=9.0, min_v=4, max_v=10)
+    ts = table_layer("polygons", 40, seed=74, bounds=BOUNDS,
+                     min_edge=2.0, max_edge=9.0, min_v=4, max_v=10)
+    cfg_on = EngineConfig(dataspace=BOUNDS, ppd=8,
+                          intermediate_filter=True)
+    pr, ps = str(tmp_path / "r_april"), str(tmp_path / "s_april")
+    persist_april(rd.from_arrow(tr), pr, BOUNDS, cfg_on.april_n)
+    persist_april(rd.from_arrow(ts), ps, BOUNDS, cfg_on.april_n)
+    got = _pairs(spatial_join_broadcast(load_april(pr), load_april(ps),
+                                        "intersects", cfg_on,
+                                        concurrency=2))
+    exp = _pairs(spatial_join_broadcast(rd.from_arrow(tr),
+                                        rd.from_arrow(ts),
+                                        "intersects", _cfg(),
+                                        concurrency=2))
+    assert got == exp and len(got) > 0
+
+
 def test_auto_path_selection_parity(ray_session):
     """spatial_join_auto picks broadcast for small S and shuffle for
     large S — identical pair sets on BOTH sides of the switch point
