@@ -39,9 +39,9 @@ def _layer(kind: str, n: int, seed: int, sf_dir: str | None):
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="hecatoncheir_ray.job")
     ap.add_argument("--pipeline", default="spatial_join",
-                    choices=["spatial_join"])
-    ap.add_argument("--left-kind", required=True)
-    ap.add_argument("--right-kind", required=True)
+                    choices=["spatial_join", "curation"])
+    ap.add_argument("--left-kind", default=None)
+    ap.add_argument("--right-kind", default=None)
     ap.add_argument("--left-n", type=int, default=100000)
     ap.add_argument("--right-n", type=int, default=100000)
     ap.add_argument("--left-seed", type=int, default=1)
@@ -64,6 +64,24 @@ def main(argv=None) -> int:
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
 
+    if args.pipeline == "curation":
+        from .state.checkpoint import resumable_curation
+
+        def docs():
+            import ray.data as rd
+            return rd.read_parquet(f"{args.sf_dir}/documents.parquet",
+                                   columns=["doc_id", "text"])
+
+        summary = resumable_curation(
+            docs, args.out,
+            lineage={"docs": f"{args.sf_dir}/documents.parquet"})
+        print(json.dumps(summary))
+        ray.shutdown()
+        return 0
+
+    if not (args.left_kind and args.right_kind):
+        raise SystemExit("--left-kind/--right-kind required for "
+                         "spatial_join")
     from .config import EngineConfig, TIGER_US_BOUNDS
     from .state.checkpoint import resumable_spatial_join
     b = (TIGER_US_BOUNDS[0] - 0.5, TIGER_US_BOUNDS[1] - 0.5,

@@ -29,11 +29,13 @@ from ..functions.dedup import (dedup_canonical, minhash_near_dup_pairs,
 from ..functions.text import lang_id, lang_id_sql, text_stats, text_stats_sql
 
 
-def curate_corpus(docs: Dataset, min_quality: int = 815,
-                  min_tokens: int = 20, lang: str = "en",
-                  threshold: float = 0.6, sample_hex_lt: str = "80",
-                  num_parts: int = 256) -> Dataset:
-    """-> Dataset(doc_id, token_count, quality_x1000) of surviving docs."""
+def gate_exact_dedup(docs: Dataset, min_quality: int = 815,
+                     min_tokens: int = 20, lang: str = "en",
+                     num_parts: int = 256) -> Dataset:
+    """Stages 1-3 (quality gate -> language gate -> exact dedup) as one
+    lazy Dataset of survivors (doc_id, text, token_count, quality_x1000,
+    h).  Split out so the resumable runner (state.checkpoint.
+    resumable_curation) can persist this stage boundary."""
 
     def gate(df: pd.DataFrame) -> pd.DataFrame:
         st = text_stats(df)
@@ -65,20 +67,13 @@ def curate_corpus(docs: Dataset, min_quality: int = 815,
 
     gated = docs.select_columns(["doc_id", "text"]) \
         .map_batches(gate, batch_format="pandas")
-    # Three downstream consumers fan out from the survivor set (pair
-    # generation, cluster identity rows, canonical keep filter); pin the
-    # blocks once so the gate + exact-dedup shuffle doesn't re-execute per
-    # consumer.  Survivors are the post-gate minority of the corpus and
-    # the object store spills, so this is cheaper than 3x recomputation.
-    surv = gated.groupby("hpart") \
-        .map_groups(exact_keep_min, batch_format="pandas") \
-        .materialize()
+    return gated.groupby("hpart") \
+        .map_groups(exact_keep_min, batch_format="pandas")
 
-    # pair set stays a Dataset in the object store — the driver never
-    # sees documents, shingles, or pairs on this path
-    pairs = minhash_near_dup_pairs(surv, threshold=threshold)
-    canon = dedup_canonical(surv, pairs)
 
+def sample_survivors(canon: Dataset, sample_hex_lt: str = "80") -> Dataset:
+    """Stage 5: deterministic content-hash sample + final projection
+    (doc_id, token_count, quality_x1000)."""
     k = len(sample_hex_lt)
 
     def sample_project(df: pd.DataFrame) -> pd.DataFrame:
@@ -92,6 +87,26 @@ def curate_corpus(docs: Dataset, min_quality: int = 815,
             .astype(np.int64)})
 
     return canon.map_batches(sample_project, batch_format="pandas")
+
+
+def curate_corpus(docs: Dataset, min_quality: int = 815,
+                  min_tokens: int = 20, lang: str = "en",
+                  threshold: float = 0.6, sample_hex_lt: str = "80",
+                  num_parts: int = 256) -> Dataset:
+    """-> Dataset(doc_id, token_count, quality_x1000) of surviving docs."""
+    # Three downstream consumers fan out from the survivor set (pair
+    # generation, cluster identity rows, canonical keep filter); pin the
+    # blocks once so the gate + exact-dedup shuffle doesn't re-execute per
+    # consumer.  Survivors are the post-gate minority of the corpus and
+    # the object store spills, so this is cheaper than 3x recomputation.
+    surv = gate_exact_dedup(docs, min_quality, min_tokens, lang,
+                            num_parts).materialize()
+
+    # pair set stays a Dataset in the object store — the driver never
+    # sees documents, shingles, or pairs on this path
+    pairs = minhash_near_dup_pairs(surv, threshold=threshold)
+    canon = dedup_canonical(surv, pairs)
+    return sample_survivors(canon, sample_hex_lt)
 
 
 def curate_corpus_sql(min_quality: int = 815, min_tokens: int = 20,

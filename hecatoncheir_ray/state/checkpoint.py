@@ -177,6 +177,128 @@ def resumable_spatial_join(r_factory, s_factory, predicate: str, cfg,
             "out_dir": out_dir}
 
 
+CURATION_STAGES = ("survivors", "pairs", "final")
+
+
+def _curation_fingerprint(params: dict, lineage: dict) -> str:
+    import hashlib
+    blob = json.dumps({"params": params, "lineage": lineage},
+                      sort_keys=True)
+    return hashlib.md5(blob.encode()).hexdigest()
+
+
+def _read_stage(out_dir: str, name: str, empty_schema):
+    """Read a finished stage's parquet back as a Dataset; typed empty
+    when the stage produced zero rows (write_parquet of an empty
+    Dataset may leave no readable files)."""
+    import ray.data as rd
+    sd = os.path.join(out_dir, f"stage={name}")
+    files = [os.path.join(sd, f) for f in sorted(os.listdir(sd))
+             if f.endswith(".parquet")] if os.path.isdir(sd) else []
+    if files:
+        # partitioning=None: the stage=<name> directory naming must not
+        # be inferred as a hive partition column
+        ds = rd.read_parquet(files, partitioning=None)
+        if ds.count() > 0:
+            return ds
+    import pyarrow as pa
+    return rd.from_arrow(empty_schema.empty_table())
+
+
+def resumable_curation(docs_factory, out_dir: str,
+                       min_quality: int = 815, min_tokens: int = 20,
+                       lang: str = "en", threshold: float = 0.6,
+                       sample_hex_lt: str = "80", num_parts: int = 256,
+                       lineage: dict | None = None) -> dict:
+    """Run (or resume) the corpus-curation pipeline with a checkpoint at
+    each stage boundary (north rule: resumable from checkpoint with
+    per-partition lineage + metrics — the training-data counterpart of
+    ``resumable_spatial_join``).
+
+    Stage slicing: the spatial join slices by shuffle-partition range
+    because its output is partition-separable; curation's near-dup
+    stages are NOT doc-separable (LSH pairs and connected components
+    cross any document slice), so the unit of resumption is the stage
+    boundary — each of (survivors, pairs, final) is written as
+    partitioned parquet + an atomic manifest, and a killed job re-run
+    with the same params skips every finished stage.  Within a stage
+    the work is already distributed Ray tasks; a 100 TB deployment
+    sizes stage output partitioning via write_parquet's block layout.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import shutil
+    from ..functions.dedup import dedup_canonical, minhash_near_dup_pairs
+    from ..pipelines.curation import gate_exact_dedup, sample_survivors
+
+    lineage = lineage or {}
+    params = {"min_quality": min_quality, "min_tokens": min_tokens,
+              "lang": lang, "threshold": threshold,
+              "sample_hex_lt": sample_hex_lt, "num_parts": num_parts}
+    fp = _curation_fingerprint(params, lineage)
+    store = CheckpointStore(out_dir)
+    idx = {n: i for i, n in enumerate(CURATION_STAGES)}
+    summary = {"stages_run": 0, "stages_skipped": 0, "out_dir": out_dir,
+               "counters": {}}
+
+    def run_stage(name: str, factory) -> None:
+        k = idx[name]
+        if store.is_done(k, fp):
+            summary["stages_skipped"] += 1
+            summary["counters"][name] = store.manifest(k)["counters"]
+            return
+        t0 = time.time()
+        sd = os.path.join(out_dir, f"stage={name}")
+        # a crashed attempt leaves partial parquet behind and
+        # write_parquet APPENDs unique filenames — wipe first
+        shutil.rmtree(sd, ignore_errors=True)
+        factory().write_parquet(sd)
+        rows = sum(pq.read_metadata(os.path.join(sd, f)).num_rows
+                   for f in os.listdir(sd) if f.endswith(".parquet"))
+        counters = {"rows_out": rows,
+                    "wall_s": round(time.time() - t0, 3)}
+        store.mark_done(k, fp, {**lineage, "stage": name}, counters)
+        summary["counters"][name] = counters
+        summary["stages_run"] += 1
+
+    SURV = pa.schema([("doc_id", pa.int64()), ("text", pa.large_string()),
+                      ("token_count", pa.int64()),
+                      ("quality_x1000", pa.int64()),
+                      ("h", pa.large_string())])
+    PAIRS = pa.schema([("doc_id_a", pa.int64()),
+                       ("doc_id_b", pa.int64())])
+
+    run_stage("survivors",
+              lambda: gate_exact_dedup(docs_factory(), min_quality,
+                                       min_tokens, lang, num_parts))
+    surv = _read_stage(out_dir, "survivors", SURV)
+    run_stage("pairs",
+              lambda: minhash_near_dup_pairs(surv, threshold=threshold))
+    pairs = _read_stage(out_dir, "pairs", PAIRS)
+    run_stage("final",
+              lambda: sample_survivors(dedup_canonical(surv, pairs),
+                                       sample_hex_lt))
+    m = store.manifest(idx["final"])
+    summary["rows"] = m["counters"].get("rows_out", 0) if m else 0
+    return summary
+
+
+def read_curation_output(out_dir: str):
+    """Read back the final curated set — only if its manifest says done
+    (a crashed final stage may have partial parquet on disk)."""
+    import pyarrow as pa
+    import ray.data as rd
+    store = CheckpointStore(out_dir)
+    k = CURATION_STAGES.index("final")
+    m = store.manifest(k)
+    empty = pa.schema([("doc_id", pa.int64()),
+                       ("token_count", pa.int64()),
+                       ("quality_x1000", pa.int64())])
+    if not (m and m.get("status") == "done"):
+        return rd.from_arrow(empty.empty_table())
+    return _read_stage(out_dir, "final", empty)
+
+
 def read_join_output(out_dir: str, predicate: str = "intersects"):
     """Read back only slices whose manifest says 'done' (a crashed slice
     may have partial parquet files on disk -- they must not be read).
