@@ -291,6 +291,18 @@ def _q_poly_join_pairs_broadcast(sf_dir: str):
                                   "intersects", _cfg(), concurrency=4)
 
 
+def _q_poly_join_pairs_broadcast_april(sf_dir: str):
+    """Same join, same oracle — broadcast path WITH the APRIL
+    intermediate filter (r5): S's interval lists built once before the
+    pin, R's per batch inside the actor.  Bit-verifies that turning the
+    filter on over the zero-shuffle plan changes nothing."""
+    from hecatoncheir_ray.pipelines.spatial_join import spatial_join_broadcast
+    cfg = EngineConfig(dataspace=_B, ppd=64, intermediate_filter=True)
+    return spatial_join_broadcast(derive.ray_octagons_orders(sf_dir),
+                                  derive.ray_octagons_part(sf_dir),
+                                  "intersects", cfg, concurrency=4)
+
+
 # --- tiling (north rule: raster<->vector tile assignment) -------------------
 
 _TILE_PPD = 32
@@ -1185,6 +1197,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only; in-query min-3/area-preservation invariants +
         # scalar-reference parity (tests/test_simplify.py)
         "polygon_simplify": _q_polygon_simplify,
+        # same join + oracle as poly_join_pairs_broadcast, with the
+        # APRIL intermediate filter on (r5 broadcast-APRIL path; parity
+        # also pinned by tests/test_broadcast_join.py)
+        "poly_join_pairs_broadcast_april": _q_poly_join_pairs_broadcast_april,
     }
 
 
@@ -1519,6 +1535,13 @@ def oracle_sql() -> dict[str, str]:
             UNION SELECT r_id, s_id FROM r_in
             UNION SELECT r_id, s_id FROM s_in""",
         "poly_join_pairs_salted": f"""
+            WITH {_convex_pair_ctes(bo, derive.ORDERS_SALT,
+                                    derive.sql_boxes_part_oct(),
+                                    derive.PART_SALT)}
+            SELECT r_id, s_id FROM crossed
+            UNION SELECT r_id, s_id FROM r_in
+            UNION SELECT r_id, s_id FROM s_in""",
+        "poly_join_pairs_broadcast_april": f"""
             WITH {_convex_pair_ctes(bo, derive.ORDERS_SALT,
                                     derive.sql_boxes_part_oct(),
                                     derive.PART_SALT)}

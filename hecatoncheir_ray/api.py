@@ -70,6 +70,61 @@ class DistanceJoinQuery:
     distance: float
 
 
+# -- query wire serialization -------------------------------------------
+# Analog of Query::createFromBuffer / serialize (reference
+# API/containers.h:312): the reference packs queries into MPI byte
+# buffers; a Ray job-submission path ships them the same way (e.g. as a
+# job payload or over a socket).  Format: 4-byte little-endian length +
+# JSON body {"kind": <class>, ...fields}, coords as a float64 list.
+
+_QUERY_KINDS: dict[str, type] = {}
+
+
+def _register_query(cls):
+    _QUERY_KINDS[cls.__name__] = cls
+    return cls
+
+
+for _c in (PredicateJoinQuery, RangeQuery, KNNQuery, DistanceJoinQuery):
+    _register_query(_c)
+
+
+def pack_query(q) -> bytes:
+    """Query dataclass -> length-prefixed wire buffer."""
+    import json
+    import struct
+    kind = type(q).__name__
+    if kind not in _QUERY_KINDS:
+        raise TypeError(f"not a query type: {kind}")
+    d = dict(q.__dict__)
+    if isinstance(q, RangeQuery):
+        d["coords"] = np.asarray(q.coords, dtype=np.float64).tolist()
+    blob = json.dumps({"kind": kind, **d}, sort_keys=True).encode()
+    return struct.pack("<I", len(blob)) + blob
+
+
+def unpack_query(buf: bytes):
+    """Wire buffer -> query dataclass (createFromBuffer analog).
+
+    Raises ValueError on a truncated buffer or unknown query kind."""
+    import json
+    import struct
+    if len(buf) < 4:
+        raise ValueError("query buffer truncated (no length prefix)")
+    (n,) = struct.unpack_from("<I", buf, 0)
+    if len(buf) < 4 + n:
+        raise ValueError(f"query buffer truncated ({len(buf) - 4} of "
+                         f"{n} body bytes)")
+    d = json.loads(buf[4:4 + n].decode())
+    kind = d.pop("kind", None)
+    cls = _QUERY_KINDS.get(kind)
+    if cls is None:
+        raise ValueError(f"unknown query kind {kind!r}")
+    if cls is RangeQuery:
+        d["coords"] = np.asarray(d["coords"], dtype=np.float64)
+    return cls(**d)
+
+
 class Hecatoncheir:
     """One engine instance == the reference's global config + datasets."""
 

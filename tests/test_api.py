@@ -93,3 +93,35 @@ def test_index_type_equivalence(ray_session):
     eng = Hecatoncheir()
     with pytest.raises(ValueError, match="unknown index type"):
         eng.build_index([], "rtree")
+
+
+def test_query_wire_roundtrip():
+    """pack_query/unpack_query (Query::createFromBuffer analog,
+    reference API/containers.h:312): every query dataclass survives the
+    wire byte-exact, including float64 range coords; truncated buffers
+    and unknown kinds raise."""
+    import numpy as np
+    from hecatoncheir_ray.api import (RangeQuery, pack_query,
+                                      unpack_query)
+    qs = [PredicateJoinQuery(0, 1, 7, "intersects", QR_COUNT),
+          RangeQuery(3, 2, np.array([0.25, -1.5, 9.75, 4.125]), 0),
+          KNNQuery(5, -100.25, 35.5, 1, k=4),
+          DistanceJoinQuery(0, 1, 2, QR_COLLECT, 7.65)]
+    for q in qs:
+        r = unpack_query(pack_query(q))
+        assert type(r) is type(q)
+        if isinstance(q, RangeQuery):
+            assert (r.coords == q.coords).all()
+            assert r.coords.dtype == np.float64
+            d1, d2 = dict(q.__dict__), dict(r.__dict__)
+            d1.pop("coords"), d2.pop("coords")
+            assert d1 == d2
+        else:
+            assert r == q
+    with pytest.raises(ValueError, match="truncated"):
+        unpack_query(pack_query(qs[0])[:-3])
+    with pytest.raises(ValueError, match="unknown query kind"):
+        unpack_query(pack_query(qs[0]).replace(
+            b"PredicateJoinQuery", b"MysteryQueryXXXXXX"))
+    with pytest.raises(TypeError):
+        pack_query(object())

@@ -143,4 +143,8 @@ def test_query_priority_ordering(entrymod):
                                "areal_interpolate",
                                # rows-only; in-query min-3 and area
                                # invariants (tests/test_simplify.py)
-                               "polygon_simplify"}
+                               "polygon_simplify",
+                               # same join + oracle as
+                               # poly_join_pairs_broadcast, APRIL on
+                               # (r5; parity in test_broadcast_join)
+                               "poly_join_pairs_broadcast_april"}
