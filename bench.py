@@ -76,51 +76,57 @@ def run_bench() -> dict:
     # warm page cache (untimed)
     derive.ray_points_events(SF_DIR).count()
 
-    queries = {}
-    rows_per_sec = {}
-
     # Q1: polygon x polygon intersection join (T1NA/T2NA-style headline)
-    t0 = time.time()
-    r = ray_layer("polygons", n_orders, seed=1, **_POLY_KW)
-    s = ray_layer("polygons", n_orders, seed=2, **_POLY_KW)
-    n_pairs = spatial_join(r, s, "intersects", cfg(192)).count()
-    dt = time.time() - t0
-    queries["poly_poly_join"] = round(dt, 3)
-    rows_per_sec["poly_poly_join"] = round(n_pairs / dt, 1)
+    def poly_poly():
+        r = ray_layer("polygons", n_orders, seed=1, **_POLY_KW)
+        s = ray_layer("polygons", n_orders, seed=2, **_POLY_KW)
+        return spatial_join(r, s, "intersects", cfg(192)).count()
 
     # Q2: point x polygon join (point-in-polygon headline)
-    t0 = time.time()
-    pts = derive.ray_points_events(SF_DIR)
-    polys = ray_layer("polygons", n_orders, seed=2, **_POLY_KW)
-    n_pip = spatial_join(pts, polys, "intersects", cfg(192)).count()
-    dt = time.time() - t0
-    queries["point_poly_join"] = round(dt, 3)
-    rows_per_sec["point_poly_join"] = round(n_pip / dt, 1)
+    def point_poly():
+        pts = derive.ray_points_events(SF_DIR)
+        polys = ray_layer("polygons", n_orders, seed=2, **_POLY_KW)
+        return spatial_join(pts, polys, "intersects", cfg(192)).count()
 
     # Q3: box x box join over testdata-derived layers
-    t0 = time.time()
-    n_box = spatial_join(derive.ray_boxes_orders(SF_DIR),
-                         derive.ray_boxes_part(SF_DIR),
-                         "intersects", cfg(128)).count()
-    dt = time.time() - t0
-    queries["box_join"] = round(dt, 3)
-    rows_per_sec["box_join"] = round(n_box / dt, 1)
+    def box_join():
+        return spatial_join(derive.ray_boxes_orders(SF_DIR),
+                            derive.ray_boxes_part(SF_DIR),
+                            "intersects", cfg(128)).count()
 
     # Q4: distance join (epsilon) on event points
-    t0 = time.time()
-    n_dj = distance_join(derive.ray_points_events(SF_DIR),
-                         derive.ray_points_events(SF_DIR), 0.05,
-                         cfg(128)).count()
-    dt = time.time() - t0
-    queries["distance_join"] = round(dt, 3)
-    rows_per_sec["distance_join"] = round(n_dj / dt, 1)
+    def dist_join():
+        return distance_join(derive.ray_points_events(SF_DIR),
+                             derive.ray_points_events(SF_DIR), 0.05,
+                             cfg(128)).count()
+
+    NAMED = [("poly_poly_join", poly_poly), ("point_poly_join", point_poly),
+             ("box_join", box_join), ("distance_join", dist_join)]
+    # min of 2 ALTERNATED reps per query (the BENCH/BASELINE.md noise
+    # protocol): one co-tenant burst can no longer poison the recorded
+    # suite number, and first-rep warmup (fresh-process numpy/JIT paths)
+    # stops leaking into the measurement
+    queries, rows_per_sec, result_rows = {}, {}, {}
+    for rep in range(2):
+        for name, fn in NAMED:
+            t0 = time.time()
+            n = fn()
+            dt = time.time() - t0
+            if name in result_rows and result_rows[name] != n:
+                raise AssertionError(f"{name}: row count changed between "
+                                     f"reps ({result_rows[name]} vs {n})")
+            result_rows[name] = n
+            if name not in queries or dt < queries[name]:
+                queries[name] = dt
+    for name, _ in NAMED:
+        dt = queries[name]
+        queries[name] = round(dt, 3)
+        rows_per_sec[name] = round(result_rows[name] / dt, 1)
 
     total = round(sum(queries.values()), 3)
     out = {"metric": "spatial_join_suite_seconds", "value": total,
            "unit": "sec", "queries": queries, "rows_per_sec": rows_per_sec,
-           "result_rows": {"poly_poly_join": n_pairs,
-                           "point_poly_join": n_pip,
-                           "box_join": n_box, "distance_join": n_dj},
+           "result_rows": result_rows, "reps": 2, "agg": "min",
            "sf": SF_DIR, "num_cpus": NUM_CPUS}
     ray.shutdown()
     return out
@@ -268,6 +274,35 @@ def run_april() -> dict:
     out["rows"] = rows
     out["value"] = out["filter_on"]
     out["speedup"] = round(out["filter_off"] / out["filter_on"], 3)
+
+    # broadcast path, same persisted layers (r5: APRIL on the zero-
+    # shuffle join — S interval lists built once before the pin, R's per
+    # batch).  Same alternated min-of-3 protocol.
+    from hecatoncheir_ray.pipelines.spatial_join import \
+        spatial_join_broadcast
+    bbest = {"bcast_off": None, "bcast_on": None}
+    brows = 0
+    for _ in range(3):
+        for label, flt in [("bcast_off", False), ("bcast_on", True)]:
+            cfg = EngineConfig(dataspace=b, ppd=128, auto_salt=False,
+                               intermediate_filter=flt, april_n=ORDER)
+            if flt:
+                r = load_april("/tmp/hec_april_r")
+                s = load_april("/tmp/hec_april_s")
+            else:
+                r = ray_layer("polygons", N, seed=1, parallelism=16, **KW)
+                s = ray_layer("polygons", N, seed=2, parallelism=16, **KW)
+            t0 = _t.time()
+            brows = spatial_join_broadcast(r, s, "intersects", cfg,
+                                           concurrency=NUM_CPUS).count()
+            dt = _t.time() - t0
+            if bbest[label] is None or dt < bbest[label]:
+                bbest[label] = dt
+    assert brows == rows, "broadcast/shuffle row-count divergence"
+    out["bcast_filter_off"] = round(bbest["bcast_off"], 3)
+    out["bcast_filter_on"] = round(bbest["bcast_on"], 3)
+    out["bcast_speedup"] = round(bbest["bcast_off"] / bbest["bcast_on"],
+                                 3)
     ray.shutdown()
     return out
 
