@@ -295,9 +295,13 @@ def _q_poly_join_pairs_broadcast_april(sf_dir: str):
     """Same join, same oracle — broadcast path WITH the APRIL
     intermediate filter (r5): S's interval lists built once before the
     pin, R's per batch inside the actor.  Bit-verifies that turning the
-    filter on over the zero-shuffle plan changes nothing."""
+    filter on over the zero-shuffle plan changes nothing.  april_n=12:
+    the filter is sound at ANY raster order (bounds+order are pinned
+    per join); order 16's 65k^2 raster over degree-scale octagons costs
+    ~10x the refinement it saves at driver scale."""
     from hecatoncheir_ray.pipelines.spatial_join import spatial_join_broadcast
-    cfg = EngineConfig(dataspace=_B, ppd=64, intermediate_filter=True)
+    cfg = EngineConfig(dataspace=_B, ppd=64, intermediate_filter=True,
+                       april_n=12)
     return spatial_join_broadcast(derive.ray_octagons_orders(sf_dir),
                                   derive.ray_octagons_part(sf_dir),
                                   "intersects", cfg, concurrency=4)
