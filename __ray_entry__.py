@@ -1150,8 +1150,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # doc_sample/doc_lang_hist compose operators whose cores are
         # already row-checked via doc_lang_id / doc_stats /
         # emb_cluster_sample and pytest oracles;
-        # event_value_quantiles_by_type's core rides the two quantile
-        # rows still in the window + the pytest grouped-quantile oracle)
+        # event_value_quantiles / _by_type's core rides the
+        # doc_len_quantiles row still in the window + the pytest
+        # grouped-quantile oracle)
         "event_value_quantiles_by_type": _q_event_value_quantiles_by_type,
         # range_count_points_pruned = range_count_points (windowed) over
         # the store-pruned reader, whose pruning is pytest-checked
