@@ -27,6 +27,31 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 _POLY_KW = dict(min_edge=0.02, max_edge=0.12, min_v=5, max_v=24)
 
 
+def _calibrate(reps: int = 3) -> float:
+    """Machine-speed probe: min wall-time (ms) of a fixed single-thread
+    numpy sort over a seeded 4M-float array.  On a quiet box the min is
+    stable run-to-run, so co-tenant CPU steal during a bench run shows
+    up in the recorded number itself (the load-normalized protocol of
+    BENCH/BASELINE.md — container loadavg is blind to sibling
+    containers, this probe is not)."""
+    import numpy as np
+
+    arr = np.random.default_rng(42).random(4_000_000)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.sort(arr)
+        best = min(best, time.perf_counter() - t0)
+    return round(best * 1000.0, 1)
+
+
+def _load_1m() -> float:
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:  # pragma: no cover
+        return -1.0
+
+
 def _tune_context(ctx):
     """Session tuning measured in BENCH/BASELINE.md:
 
@@ -49,6 +74,10 @@ def _table_rows(name: str) -> int:
 
 def run_bench() -> dict:
     import ray
+
+    # calibrate BEFORE ray.init: the worker-pool fork/import burst at
+    # session start otherwise inflates the probe by ~30%
+    load0, calib0 = _load_1m(), _calibrate()
 
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=NUM_CPUS,
@@ -127,7 +156,11 @@ def run_bench() -> dict:
     out = {"metric": "spatial_join_suite_seconds", "value": total,
            "unit": "sec", "queries": queries, "rows_per_sec": rows_per_sec,
            "result_rows": result_rows, "reps": 2, "agg": "min",
-           "sf": SF_DIR, "num_cpus": NUM_CPUS}
+           "sf": SF_DIR, "num_cpus": NUM_CPUS,
+           # co-tenant interference evidence (see _calibrate): quiet-box
+           # reference for calib_ms is recorded in BENCH/BASELINE.md
+           "load_1m": [load0, _load_1m()],
+           "calib_ms": [calib0, _calibrate()]}
     ray.shutdown()
     return out
 
@@ -137,6 +170,8 @@ def run_heavy() -> dict:
     query, min taken (absorbs session startup + scheduler noise so the
     measurement reflects throughput, not fixed overhead)."""
     import ray
+
+    load0, calib0 = _load_1m(), _calibrate()
 
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=NUM_CPUS,
@@ -190,7 +225,9 @@ def run_heavy() -> dict:
     total = round(sum(queries.values()), 3)
     out = {"metric": "heavy_join_seconds", "value": total, "unit": "sec",
            "queries": queries, "rows_per_sec": rows_per_sec,
-           "result_rows": result_rows, "num_cpus": NUM_CPUS}
+           "result_rows": result_rows, "num_cpus": NUM_CPUS,
+           "load_1m": [load0, _load_1m()],
+           "calib_ms": [calib0, _calibrate()]}
     ray.shutdown()
     return out
 
@@ -338,7 +375,11 @@ def run_scaling() -> dict:
             "queries_32": r32["queries"],
             "rows_per_sec_2": r2["rows_per_sec"],
             "rows_per_sec_8": r8["rows_per_sec"],
-            "rows_per_sec_32": r32["rows_per_sec"], "sf": SF_DIR}
+            "rows_per_sec_32": r32["rows_per_sec"], "sf": SF_DIR,
+            "load_1m": {"2": r2["load_1m"], "8": r8["load_1m"],
+                        "32": r32["load_1m"]},
+            "calib_ms": {"2": r2["calib_ms"], "8": r8["calib_ms"],
+                         "32": r32["calib_ms"]}}
 
 
 def run_skew() -> dict:
