@@ -350,7 +350,18 @@ def run_scaling() -> dict:
     (T_N / T_4N) / 4.  Measured at two N-to-4N pairs: 2->8 and 8->32
     (the single box shares one DRAM bus across all cores, so the high-core
     pair understates multi-node scaling where every node brings its own
-    memory bandwidth; both are reported)."""
+    memory bandwidth; both are reported).
+
+    Runs the full 2->8->32 cycle SCALING_CYCLES times (default 2) and takes
+    the per-level minimum across cycles — the default suite's
+    min-of-alternated-reps protocol lifted to level granularity.  A
+    co-tenant burst long enough to contaminate one whole level (observed:
+    multi-minute sibling-container steal, BENCH/BASELINE.md round-5
+    addenda) rarely spans the same level in both cycles; the min per level
+    estimates the quiet-box time.  Every cycle's raw seconds and calib/load
+    probes are reported so a contaminated cycle stays auditable."""
+
+    cycles = int(os.environ.get("SCALING_CYCLES", "2"))
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
@@ -359,7 +370,26 @@ def run_scaling() -> dict:
                              check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    r2, r8, r32 = run(2), run(8), run(32)
+    runs = {2: [], 8: [], 32: []}
+    for _ in range(cycles):
+        for ncpu in (2, 8, 32):
+            runs[ncpu].append(run(ncpu))
+
+    def best(ncpu: int) -> dict:
+        # per-level min across cycles, picked on total seconds; per-query
+        # seconds are minimized independently (a burst can straddle the
+        # boundary between the two queries within a level)
+        rs = runs[ncpu]
+        b = dict(min(rs, key=lambda r: r["value"]))
+        b["queries"] = {q: min(r["queries"][q] for r in rs)
+                        for q in rs[0]["queries"]}
+        b["rows_per_sec"] = {
+            q: round(rs[0]["result_rows"][q] / b["queries"][q], 1)
+            for q in b["queries"]}
+        b["value"] = round(sum(b["queries"].values()), 3)
+        return b
+
+    r2, r8, r32 = best(2), best(8), best(32)
     eff_2_8 = (r2["value"] / r8["value"]) / 4
     eff_8_32 = (r8["value"] / r32["value"]) / 4
     per_q = {q: round((r2["queries"][q] / r8["queries"][q]) / 4, 3)
@@ -376,10 +406,13 @@ def run_scaling() -> dict:
             "rows_per_sec_2": r2["rows_per_sec"],
             "rows_per_sec_8": r8["rows_per_sec"],
             "rows_per_sec_32": r32["rows_per_sec"], "sf": SF_DIR,
-            "load_1m": {"2": r2["load_1m"], "8": r8["load_1m"],
-                        "32": r32["load_1m"]},
-            "calib_ms": {"2": r2["calib_ms"], "8": r8["calib_ms"],
-                         "32": r32["calib_ms"]}}
+            "cycles": cycles,
+            "cycle_sec": {str(n): [r["value"] for r in runs[n]]
+                          for n in (2, 8, 32)},
+            "load_1m": {str(n): [r["load_1m"] for r in runs[n]]
+                        for n in (2, 8, 32)},
+            "calib_ms": {str(n): [r["calib_ms"] for r in runs[n]]
+                         for n in (2, 8, 32)}}
 
 
 def run_skew() -> dict:
