@@ -762,6 +762,95 @@ def run_raster() -> dict:
             "sf": SF_DIR, "num_cpus": NUM_CPUS}
 
 
+def _membw_worker(kind: str, barrier, out, slot: int) -> None:
+    """One weak-scaling worker: identical work per process; all workers
+    start together on the barrier so the max per-worker elapsed is the
+    level's wall time with spawn overhead excluded."""
+    import numpy as np
+
+    if kind == "stream":
+        # DRAM-streaming profile: 3 x 32 MB float64 arrays, elementwise
+        # fused ops + reduction — the traffic shape of the padded
+        # pre-optimization join kernel (every rep walks ~128 MB).
+        rng = np.random.default_rng(1000 + slot)
+        a = rng.random(4_000_000)
+        b = rng.random(4_000_000)
+        c = np.empty_like(a)
+        reps = 120
+    else:
+        # Cache-resident profile: same op mix over a 256 KB array, so
+        # the working set lives in L2 — the shape of the shipped
+        # per-ring cache-blocked PiP kernel.
+        rng = np.random.default_rng(2000 + slot)
+        a = rng.random(32_000)
+        b = rng.random(32_000)
+        c = np.empty_like(a)
+        reps = 15000
+    barrier.wait()
+    t0 = time.perf_counter()
+    acc = 0.0
+    for _ in range(reps):
+        np.multiply(a, b, out=c)
+        c += a
+        acc += float(c[::1024].sum())
+    out[slot] = time.perf_counter() - t0
+    if acc == -1.0:  # pragma: no cover - keep acc live against DCE
+        print(acc)
+
+
+def run_membw() -> dict:
+    """Ray-free multiprocessing control for the eff(8->32) falloff
+    (BENCH/BASELINE.md "why 2->8 is the honest N->4N stand-in").
+
+    Weak scaling at 2/8/32 single-threaded processes, two kernels with
+    the SAME instruction mix but different working sets:
+
+      stream — 96 MB/process (DRAM-bandwidth-bound)
+      cache  — 256 KB/process (core-bound, L2-resident)
+
+    If `cache` holds near-linear efficiency 8->32 while `stream`
+    collapses, the socket's one shared DRAM bus — not Ray, not the
+    pipeline — is what caps aggregate eff(8->32); per-node behavior on
+    a real N->4N cluster (each node owning its own DRAM) matches the
+    <=8-process regime.  Zero Ray imports in this path.
+    """
+    import multiprocessing as mp
+
+    os.environ.setdefault("OMP_NUM_THREADS", "1")
+    os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+    ctx = mp.get_context("spawn")
+    levels = [2, 8, 32]
+    out: dict = {"metric": "membw_control", "levels": levels,
+                 "load_1m": {"start": _load_1m()},
+                 "calib_ms": {"start": _calibrate()}, "kernels": {}}
+    for kind in ("stream", "cache"):
+        walls = {}
+        for n in levels:
+            best = float("inf")
+            for _rep in range(3):
+                barrier = ctx.Barrier(n)
+                arr = ctx.Array("d", n)
+                procs = [ctx.Process(target=_membw_worker,
+                                     args=(kind, barrier, arr, i))
+                         for i in range(n)]
+                for p in procs:
+                    p.start()
+                for p in procs:
+                    p.join()
+                best = min(best, max(arr[:]))
+            walls[n] = round(best, 3)
+        # weak scaling: throughput = n / wall; eff(a->b) = (thr_b/thr_a)/(b/a)
+        thr = {n: n / walls[n] for n in levels}
+        out["kernels"][kind] = {
+            "wall_s": walls,
+            "eff_2_8": round((thr[8] / thr[2]) / 4, 3),
+            "eff_8_32": round((thr[32] / thr[8]) / 4, 3),
+        }
+    out["load_1m"]["end"] = _load_1m()
+    out["calib_ms"]["end"] = _calibrate()
+    return out
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
@@ -781,5 +870,7 @@ if __name__ == "__main__":
         print(json.dumps(run_multimodal()))
     elif "--raster" in sys.argv:
         print(json.dumps(run_raster()))
+    elif "--membw" in sys.argv:
+        print(json.dumps(run_membw()))
     else:
         print(json.dumps(run_bench()))
