@@ -72,12 +72,30 @@ def _table_rows(name: str) -> int:
     return pq.read_metadata(f"{SF_DIR}/{name}.parquet").num_rows
 
 
+def _wait_for_quiet(max_wait_s: float, threshold_ms: float = 75.0):
+    """Bounded launch gate: if the calibration probe shows co-tenant CPU
+    steal (>= threshold_ms; quiet band on this box is 49-67 ms, see
+    BENCH/BASELINE.md), sleep and re-probe for up to max_wait_s before
+    starting the timed run.  Multi-minute sibling-container bursts are
+    the one thing min-of-2-alternated reps cannot absorb; a short wait
+    dodges launching straight into one.  Returns (probes, waited_s)."""
+    probes = [_calibrate()]
+    t0 = time.time()
+    while probes[-1] >= threshold_ms and time.time() - t0 < max_wait_s:
+        time.sleep(45)
+        probes.append(_calibrate())
+    return probes, round(time.time() - t0, 1)
+
+
 def run_bench() -> dict:
     import ray
 
     # calibrate BEFORE ray.init: the worker-pool fork/import burst at
     # session start otherwise inflates the probe by ~30%
-    load0, calib0 = _load_1m(), _calibrate()
+    load0 = _load_1m()
+    probes, waited = _wait_for_quiet(
+        float(os.environ.get("BENCH_QUIET_WAIT_S", "240")))
+    calib0 = probes[-1]
 
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=NUM_CPUS,
@@ -160,7 +178,10 @@ def run_bench() -> dict:
            # co-tenant interference evidence (see _calibrate): quiet-box
            # reference for calib_ms is recorded in BENCH/BASELINE.md
            "load_1m": [load0, _load_1m()],
-           "calib_ms": [calib0, _calibrate()]}
+           "calib_ms": [calib0, _calibrate()],
+           # launch gate: calib probes taken before starting (>= 75 ms
+           # means co-tenant steal; bounded wait, see _wait_for_quiet)
+           "launch_probes_ms": probes, "quiet_waited_s": waited}
     ray.shutdown()
     return out
 
