@@ -444,6 +444,100 @@ def write_geojsonl(table: pa.Table, path: str) -> None:
                     + "\n")
 
 
+# ---------------------------------------------------------------------------
+# WKB parquet (GeoParquet-style: geometry as a WKB binary column)
+# ---------------------------------------------------------------------------
+# The reference ingests WKT/CSV text only (src/env/partitioning.cpp:361-604);
+# WKB-in-parquet is the standard binary interchange layout (GeoParquet, and
+# the Lance-style tables the north rule names carry binary payload columns
+# the same way), so the engine reads and writes it natively.  Rows whose
+# WKB fails to parse (or is a MULTI*/nested type) are skipped, matching the
+# WKT reader's invalid-row policy.
+
+def parse_wkb_batch(t: pa.Table, geometry_col: str = "geometry",
+                    id_col: str = "id", want: int | None = None) -> pa.Table:
+    """One parquet batch with a WKB binary column -> geometry table.
+
+    All-point batches (the dominant shape at scale) take a zero-copy
+    vectorized path over the Arrow binary buffers; mixed batches fall
+    back to per-row ``from_wkb``."""
+    from ..geometry.core import GT_POINT, from_wkb
+    ids_in = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    geo = t[geometry_col].combine_chunks()
+    n = len(geo)
+    if n and geo.null_count == 0:
+        if isinstance(geo, pa.LargeBinaryArray):
+            off_dt = np.int64
+        else:
+            off_dt = np.int32
+        offs = np.frombuffer(geo.buffers()[1], dtype=off_dt)[
+            geo.offset: geo.offset + n + 1]
+        if ((offs[1:] - offs[:-1]) == 21).all():
+            raw = np.frombuffer(geo.buffers()[2], dtype=np.uint8)
+            b = raw[offs[0]: offs[-1]].reshape(n, 21)
+            if (b[:, 0] == 1).all() and \
+                    (b[:, 1:5].copy().view("<u4").ravel() == 1).all():
+                if want is not None and want != GT_POINT:
+                    return _geom_table([], [], [])
+                xy = b[:, 5:21].copy().view("<f8").reshape(n, 2)
+                loffs = np.arange(n + 1, dtype=np.int32) * 2
+                return pa.table({
+                    "id": pa.array(ids_in),
+                    "gtype": pa.array(
+                        np.full(n, GT_POINT, dtype=np.int8)),
+                    "coords": pa.ListArray.from_arrays(
+                        pa.array(loffs),
+                        pa.array(xy.ravel(), type=pa.float64())),
+                    "minx": pa.array(xy[:, 0]), "miny": pa.array(xy[:, 1]),
+                    "maxx": pa.array(xy[:, 0]), "maxy": pa.array(xy[:, 1]),
+                })
+    ids, gts, coords = [], [], []
+    for rid, buf in zip(ids_in, geo.to_pylist()):
+        g = from_wkb(buf) if buf is not None else None
+        if g is None:
+            continue
+        if want is not None and g[0] != want:
+            continue
+        ids.append(rid)
+        gts.append(g[0])
+        coords.append(np.asarray(g[1], dtype=np.float64))
+    return _geom_table(ids, gts, coords)
+
+
+def read_wkb_parquet(paths, geometry_col: str = "geometry",
+                     id_col: str = "id", data_type: str | None = None):
+    """Distributed GeoParquet-style reader: parquet files with a WKB
+    binary geometry column -> engine geometry Dataset
+    (id/gtype/coords/minx..maxy).  Only ``id_col`` and ``geometry_col``
+    leave storage (column-pruned read); ``data_type`` filters rows like
+    prepareDataset's declared type does for the WKT reader."""
+    import ray.data as rd
+    want = _NAME_TO_GTYPE.get(data_type) if data_type else None
+
+    def parse(t: pa.Table) -> pa.Table:
+        return parse_wkb_batch(t, geometry_col, id_col, want)
+
+    return rd.read_parquet(paths, columns=[id_col, geometry_col]) \
+        .map_batches(parse, batch_format="pyarrow")
+
+
+def geom_to_wkb_table(t: pa.Table, geometry_col: str = "geometry") -> pa.Table:
+    """Geometry table -> (id, WKB binary) table (boxes written as their
+    closed polygon ring, the WKB-standard encoding for them)."""
+    from ..geometry.core import to_wkb
+    bufs = [to_wkb(int(g), np.asarray(c.as_py()))
+            for g, c in zip(t["gtype"].to_pylist(), t["coords"])]
+    return pa.table({"id": t["id"],
+                     geometry_col: pa.array(bufs, type=pa.binary())})
+
+
+def write_wkb_parquet(ds, out_dir: str,
+                      geometry_col: str = "geometry") -> None:
+    """Distributed geometry Dataset -> WKB parquet directory."""
+    ds.map_batches(lambda t: geom_to_wkb_table(t, geometry_col),
+                   batch_format="pyarrow").write_parquet(out_dir)
+
+
 def read_lance_or_parquet(path: str, columns=None):
     """Prefer Lance when the library exists (the north-star input format),
     fall back to parquet (this container has no lance)."""
