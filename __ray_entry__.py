@@ -307,6 +307,23 @@ def _q_poly_join_pairs_broadcast_april(sf_dir: str):
                                   "intersects", cfg, concurrency=4)
 
 
+def _q_poly_join_pairs_wkb(sf_dir: str):
+    """Same join, same oracle — both layers roundtripped through
+    GeoParquet-style WKB parquet (sources/readers.py, r5) before the
+    join.  Bit-verifies the binary ingest path end-to-end: encode ->
+    parquet -> column-pruned distributed read -> decode -> join."""
+    import tempfile
+    from hecatoncheir_ray import spatial_join
+    from hecatoncheir_ray.sources.readers import (read_wkb_parquet,
+                                                  write_wkb_parquet)
+    tmp = tempfile.mkdtemp(prefix="hec_wkb_q_")
+    write_wkb_parquet(derive.ray_octagons_orders(sf_dir), f"{tmp}/r")
+    write_wkb_parquet(derive.ray_octagons_part(sf_dir), f"{tmp}/s")
+    return spatial_join(read_wkb_parquet(f"{tmp}/r"),
+                        read_wkb_parquet(f"{tmp}/s"),
+                        "intersects", _cfg())
+
+
 # --- tiling (north rule: raster<->vector tile assignment) -------------------
 
 _TILE_PPD = 32
@@ -1206,6 +1223,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # APRIL intermediate filter on (r5 broadcast-APRIL path; parity
         # also pinned by tests/test_broadcast_join.py)
         "poly_join_pairs_broadcast_april": _q_poly_join_pairs_broadcast_april,
+        # same join + oracle as poly_join_pairs, both layers roundtripped
+        # through WKB parquet first (r5 binary ingest path; parity also
+        # pinned by tests/test_wkb_reader.py)
+        "poly_join_pairs_wkb": _q_poly_join_pairs_wkb,
     }
 
 
@@ -1547,6 +1568,13 @@ def oracle_sql() -> dict[str, str]:
             UNION SELECT r_id, s_id FROM r_in
             UNION SELECT r_id, s_id FROM s_in""",
         "poly_join_pairs_broadcast_april": f"""
+            WITH {_convex_pair_ctes(bo, derive.ORDERS_SALT,
+                                    derive.sql_boxes_part_oct(),
+                                    derive.PART_SALT)}
+            SELECT r_id, s_id FROM crossed
+            UNION SELECT r_id, s_id FROM r_in
+            UNION SELECT r_id, s_id FROM s_in""",
+        "poly_join_pairs_wkb": f"""
             WITH {_convex_pair_ctes(bo, derive.ORDERS_SALT,
                                     derive.sql_boxes_part_oct(),
                                     derive.PART_SALT)}

@@ -872,6 +872,84 @@ def run_membw() -> dict:
     return out
 
 
+def run_rowscale() -> dict:
+    """Data-size scaling at fixed CPUs — the other axis of the 100 TB
+    extrapolation: --scaling shows throughput grows with workers on a
+    fixed input; this shows wall time grows ~linearly with input rows
+    at constant workers.  The R side is swept 1x/2x/4x with S fixed so
+    expected output (and useful work) scales ~linearly; 2 alternated
+    cycles, per-level minima.  linearity(1->4) = 4*t_1x/t_4x: 1.0 is
+    perfectly linear, >1 means fixed per-query cost amortizes away at
+    scale, <0.8 would flag a superlinear blowup."""
+    import ray
+
+    load0, calib0 = _load_1m(), _calibrate()
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    _tune_context(ctx)
+
+    from hecatoncheir_ray import EngineConfig, spatial_join
+    from hecatoncheir_ray.sources.synth import ray_layer
+    from hecatoncheir_ray.config import TIGER_US_BOUNDS
+
+    bounds = (TIGER_US_BOUNDS[0] - 0.5, TIGER_US_BOUNDS[1] - 0.5,
+              TIGER_US_BOUNDS[2] + 0.5, TIGER_US_BOUNDS[3] + 0.5)
+    cfg = EngineConfig(dataspace=bounds, ppd=192, auto_salt=False)
+    KW = dict(min_edge=0.03, max_edge=0.3, min_v=8, max_v=48)
+    N_POLY, N_PTS = 150000, 2000000
+    PAR = max(4 * NUM_CPUS, 8)
+    MULTS = (1, 2, 4)
+
+    def poly_poly(k):
+        return spatial_join(
+            ray_layer("polygons", k * N_POLY, seed=1, parallelism=k * PAR,
+                      **KW),
+            ray_layer("polygons", 2 * N_POLY, seed=2, parallelism=2 * PAR,
+                      **KW),
+            "intersects", cfg)
+
+    def point_poly(k):
+        return spatial_join(
+            ray_layer("points", k * N_PTS, seed=3, parallelism=k * PAR),
+            ray_layer("polygons", 2 * N_POLY, seed=2, parallelism=2 * PAR,
+                      **KW),
+            "intersects", cfg)
+
+    ray_layer("points", 10000, seed=9).count()    # warm the pool
+    walls = {name: {k: None for k in MULTS}
+             for name in ("poly_poly_join", "point_poly_join")}
+    rows = {name: {} for name in walls}
+    for _ in range(2):
+        for k in MULTS:
+            for name, make in [("poly_poly_join", poly_poly),
+                               ("point_poly_join", point_poly)]:
+                t0 = time.time()
+                n = make(k).count()
+                dt = time.time() - t0
+                w = walls[name][k]
+                walls[name][k] = dt if w is None else min(w, dt)
+                rows[name][k] = n
+    out = {"metric": "rowscale_linearity", "unit": "ratio",
+           "multipliers": list(MULTS), "num_cpus": NUM_CPUS,
+           "wall_s": {n: {k: round(v, 3) for k, v in w.items()}
+                      for n, w in walls.items()},
+           "result_rows": rows,
+           "pairs_per_sec": {n: {k: round(rows[n][k] / w[k], 1)
+                                 for k in MULTS}
+                             for n, w in walls.items()},
+           "linearity_1_to_4": {n: round(4 * w[1] / w[4], 3)
+                                for n, w in walls.items()},
+           "load_1m": [load0, _load_1m()],
+           "calib_ms": [calib0, _calibrate()]}
+    out["value"] = min(out["linearity_1_to_4"].values())
+    ray.shutdown()
+    return out
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
@@ -893,5 +971,7 @@ if __name__ == "__main__":
         print(json.dumps(run_raster()))
     elif "--membw" in sys.argv:
         print(json.dumps(run_membw()))
+    elif "--rowscale" in sys.argv:
+        print(json.dumps(run_rowscale()))
     else:
         print(json.dumps(run_bench()))

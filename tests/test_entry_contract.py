@@ -147,4 +147,8 @@ def test_query_priority_ordering(entrymod):
                                # same join + oracle as
                                # poly_join_pairs_broadcast, APRIL on
                                # (r5; parity in test_broadcast_join)
-                               "poly_join_pairs_broadcast_april"}
+                               "poly_join_pairs_broadcast_april",
+                               # same join + oracle as poly_join_pairs,
+                               # layers roundtripped through WKB parquet
+                               # (r5; parity in test_wkb_reader.py)
+                               "poly_join_pairs_wkb"}
