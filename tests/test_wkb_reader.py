@@ -123,3 +123,75 @@ def test_distributed_roundtrip_and_join_parity(ray_session, tmp_path,
     assert sorted(map(tuple, pairs_wkb[key].values.tolist())) == \
         sorted(map(tuple, pairs_wkt[key].values.tolist()))
     assert len(pairs_wkt) > 0
+
+
+# --- property tests (hypothesis): codec + batch parser ----------------------
+
+from hypothesis import given, settings, strategies as st
+
+from hecatoncheir_ray.geometry.core import (GT_BOX, GT_LINESTRING, from_wkb,
+                                            mbr_of)
+
+_coord = st.floats(min_value=-1000, max_value=1000, allow_nan=False,
+                   allow_infinity=False, width=64).map(
+                       lambda v: round(v, 4))
+
+
+@st.composite
+def _geoms(draw):
+    gt = draw(st.sampled_from([GT_POINT, GT_LINESTRING, GT_POLYGON, GT_BOX]))
+    if gt == GT_POINT:
+        return gt, np.array([draw(_coord), draw(_coord)])
+    if gt == GT_BOX:
+        x0, x1 = sorted((draw(_coord), draw(_coord)))
+        y0, y1 = sorted((draw(_coord), draw(_coord)))
+        return gt, np.array([x0, y0, x1 + 1e-3, y1 + 1e-3])
+    if gt == GT_LINESTRING:
+        n = draw(st.integers(2, 12))
+        return gt, np.array([draw(_coord) for _ in range(2 * n)])
+    # polygon: CCW convex hull-ish ring around a center (valid, unclosed)
+    cx, cy = draw(_coord), draw(_coord)
+    n = draw(st.integers(3, 10))
+    ang = np.sort(np.array([draw(st.floats(0, 2 * np.pi - 1e-6,
+                                           allow_nan=False))
+                            for _ in range(n)]))
+    if len(np.unique(ang)) < 3:
+        ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    r = draw(st.floats(0.01, 50, allow_nan=False))
+    pts = np.c_[cx + r * np.cos(ang), cy + r * np.sin(ang)]
+    return GT_POLYGON, pts.ravel()
+
+
+@settings(max_examples=150, deadline=None)
+@given(_geoms())
+def test_wkb_codec_roundtrip_property(g):
+    """to_wkb -> from_wkb preserves geometry (boxes come back as their
+    polygon ring) and the MBR is invariant under the roundtrip."""
+    gt, coords = g
+    back = from_wkb(to_wkb(gt, coords))
+    assert back is not None
+    bt, bc = back
+    if gt == GT_BOX:
+        assert bt == GT_POLYGON and len(bc) == 8
+    else:
+        assert bt == gt
+        np.testing.assert_array_equal(np.asarray(bc).ravel(), coords)
+    np.testing.assert_allclose(mbr_of(bt, np.asarray(bc)),
+                               mbr_of(gt, coords), rtol=0, atol=1e-12)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(_geoms(), min_size=0, max_size=20))
+def test_parse_wkb_batch_property(gs):
+    """Batch parse of arbitrary geometry mixes == per-geometry from_wkb
+    (ids aligned, skipped rows only where from_wkb skips)."""
+    bufs = [to_wkb(gt, c) for gt, c in gs]
+    t = pa.table({"id": pa.array(np.arange(len(bufs), dtype=np.int64)),
+                  "geometry": pa.array(bufs, type=pa.binary())})
+    got = parse_wkb_batch(t)
+    assert got["id"].to_pylist() == list(range(len(bufs)))
+    for k, buf in enumerate(bufs):
+        gt, coords = from_wkb(buf)
+        assert got["gtype"][k].as_py() == gt
+        np.testing.assert_array_equal(
+            np.asarray(got["coords"][k].as_py()), np.asarray(coords).ravel())
