@@ -149,14 +149,14 @@ def _geoms(draw):
     if gt == GT_LINESTRING:
         n = draw(st.integers(2, 12))
         return gt, np.array([draw(_coord) for _ in range(2 * n)])
-    # polygon: CCW convex hull-ish ring around a center (valid, unclosed)
+    # polygon: CCW ring of well-separated circle points (never degenerate:
+    # angle gaps >= 0.6*(2pi/n) keep every vertex distinct, and no three
+    # points of a circle are collinear, so correct_ring is the identity)
     cx, cy = draw(_coord), draw(_coord)
     n = draw(st.integers(3, 10))
-    ang = np.sort(np.array([draw(st.floats(0, 2 * np.pi - 1e-6,
-                                           allow_nan=False))
-                            for _ in range(n)]))
-    if len(np.unique(ang)) < 3:
-        ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    jit = np.array([draw(st.floats(0, 0.4, allow_nan=False))
+                    for _ in range(n)])
+    ang = (np.arange(n) + jit) * (2 * np.pi / n)
     r = draw(st.floats(0.01, 50, allow_nan=False))
     pts = np.c_[cx + r * np.cos(ang), cy + r * np.sin(ang)]
     return GT_POLYGON, pts.ravel()
