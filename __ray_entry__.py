@@ -312,11 +312,18 @@ def _q_poly_join_pairs_wkb(sf_dir: str):
     GeoParquet-style WKB parquet (sources/readers.py, r5) before the
     join.  Bit-verifies the binary ingest path end-to-end: encode ->
     parquet -> column-pruned distributed read -> decode -> join."""
+    import hashlib
+    import shutil
     import tempfile
     from hecatoncheir_ray import spatial_join
     from hecatoncheir_ray.sources.readers import (read_wkb_parquet,
                                                   write_wkb_parquet)
-    tmp = tempfile.mkdtemp(prefix="hec_wkb_q_")
+    # deterministic per-input scratch dir, cleared before each write, so
+    # repeated invocations (bench reps, oracle sweeps) neither accumulate
+    # directories nor double up parquet fragments
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    tmp = f"{tempfile.gettempdir()}/hec_wkb_q_{tag}"
+    shutil.rmtree(tmp, ignore_errors=True)
     write_wkb_parquet(derive.ray_octagons_orders(sf_dir), f"{tmp}/r")
     write_wkb_parquet(derive.ray_octagons_part(sf_dir), f"{tmp}/s")
     return spatial_join(read_wkb_parquet(f"{tmp}/r"),

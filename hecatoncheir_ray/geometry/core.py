@@ -266,25 +266,39 @@ def to_wkb(gtype: int, coords: np.ndarray) -> bytes:
 
 
 def from_wkb(buf: bytes) -> tuple[int, np.ndarray] | None:
-    """Parse 2D WKB (either endianness) -> (gtype, flat coords) or None."""
+    """Parse 2D WKB (either endianness) -> (gtype, flat coords) or None.
+
+    Same skip-don't-raise policy and validity gate as parse_wkt:
+    truncated buffers, vertex counts that overrun the buffer, empty or
+    degenerate geometries, non-simple rings and MULTI*/nested types all
+    return None rather than raising."""
     if len(buf) < 5:
         return None
     bo = "<" if buf[0] == 1 else ">"
-    (wtype,) = struct.unpack_from(bo + "I", buf, 1)
-    wtype %= 1000  # tolerate EWKB/Z flags in low digits
-    if wtype == _WKB_POINT:
-        x, y = struct.unpack_from(bo + "2d", buf, 5)
-        return GT_POINT, np.array([x, y])
-    if wtype == _WKB_LINESTRING:
-        (n,) = struct.unpack_from(bo + "I", buf, 5)
-        a = np.frombuffer(buf, dtype=bo + "f8", count=2 * n, offset=9)
-        return GT_LINESTRING, a.astype(np.float64)
-    if wtype == _WKB_POLYGON:
-        (nrings,) = struct.unpack_from(bo + "I", buf, 5)
-        if nrings != 1:
-            return None
-        (n,) = struct.unpack_from(bo + "I", buf, 9)
-        a = np.frombuffer(buf, dtype=bo + "f8", count=2 * n, offset=13)
-        ring = correct_ring(a.astype(np.float64).reshape(-1, 2))
-        return GT_POLYGON, pts_to_coords(ring)
-    return None
+    try:
+        (wtype,) = struct.unpack_from(bo + "I", buf, 1)
+        wtype %= 1000  # tolerate EWKB/Z flags in low digits
+        if wtype == _WKB_POINT:
+            x, y = struct.unpack_from(bo + "2d", buf, 5)
+            return GT_POINT, np.array([x, y])
+        if wtype == _WKB_LINESTRING:
+            (n,) = struct.unpack_from(bo + "I", buf, 5)
+            if n < 2 or 9 + 16 * n > len(buf):
+                return None
+            a = np.frombuffer(buf, dtype=bo + "f8", count=2 * n, offset=9)
+            return GT_LINESTRING, a.astype(np.float64)
+        if wtype == _WKB_POLYGON:
+            (nrings,) = struct.unpack_from(bo + "I", buf, 5)
+            if nrings != 1:
+                return None
+            (n,) = struct.unpack_from(bo + "I", buf, 9)
+            if n < 4 or 13 + 16 * n > len(buf):
+                return None
+            a = np.frombuffer(buf, dtype=bo + "f8", count=2 * n, offset=13)
+            ring = correct_ring(a.astype(np.float64).reshape(-1, 2))
+            if len(ring) < 3 or not ring_is_simple(ring):
+                return None
+            return GT_POLYGON, pts_to_coords(ring)
+        return None
+    except struct.error:
+        return None

@@ -462,7 +462,11 @@ def parse_wkb_batch(t: pa.Table, geometry_col: str = "geometry",
     vectorized path over the Arrow binary buffers; mixed batches fall
     back to per-row ``from_wkb``."""
     from ..geometry.core import GT_POINT, from_wkb
-    ids_in = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    idc = t[id_col]
+    if idc.null_count:
+        # a NaN->int64 cast would silently mint INT64_MIN join keys
+        raise ValueError(f"WKB parquet {id_col!r} column contains nulls")
+    ids_in = idc.to_numpy(zero_copy_only=False).astype(np.int64)
     geo = t[geometry_col].combine_chunks()
     n = len(geo)
     if n and geo.null_count == 0:
@@ -513,6 +517,12 @@ def read_wkb_parquet(paths, geometry_col: str = "geometry",
     prepareDataset's declared type does for the WKT reader."""
     import ray.data as rd
     want = _NAME_TO_GTYPE.get(data_type) if data_type else None
+    if data_type == "BOX":
+        # boxes have no WKB type of their own: the writer encodes them as
+        # their closed polygon ring, so a GT_BOX filter would silently
+        # match nothing — fail loudly with the correct spelling instead
+        raise ValueError("WKB carries boxes as polygon rings; "
+                         "filter with data_type='POLYGON'")
 
     def parse(t: pa.Table) -> pa.Table:
         return parse_wkb_batch(t, geometry_col, id_col, want)

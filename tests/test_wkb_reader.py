@@ -195,3 +195,55 @@ def test_parse_wkb_batch_property(gs):
         assert got["gtype"][k].as_py() == gt
         np.testing.assert_array_equal(
             np.asarray(got["coords"][k].as_py()), np.asarray(coords).ravel())
+
+
+def test_malformed_wkb_rows_skip_not_raise():
+    """Truncated buffers, overrunning vertex counts, empty geometries and
+    degenerate rings are skipped (parse_wkt's skip-don't-raise policy)."""
+    good = to_wkb(GT_POINT, np.array([1.0, 2.0]))
+    bad = [
+        b"\x01" + struct.pack("<I", 1) + b"\x00" * 8,        # truncated point
+        b"\x01" + struct.pack("<II", 2, 2**31 - 1),           # count overrun
+        b"\x01" + struct.pack("<II", 2, 0),                   # empty line
+        b"\x01" + struct.pack("<III", 3, 1, 0),               # empty ring
+        b"\x01" + struct.pack("<III", 3, 1, 4)                # degenerate ring
+        + np.zeros(8).tobytes(),
+        b"\x01" + struct.pack("<II", 2, 1) + np.ones(2).tobytes(),  # 1-pt line
+    ]
+    for buf in bad:
+        assert from_wkb(buf) is None, buf
+    t = pa.table({"id": pa.array(np.arange(len(bad) + 1, dtype=np.int64)),
+                  "geometry": pa.array(bad + [good], type=pa.binary())})
+    got = parse_wkb_batch(t)
+    assert got["id"].to_pylist() == [len(bad)]
+
+
+def test_null_id_raises_and_box_filter_rejected(tmp_path, ray_session):
+    t = pa.table({"id": pa.array([1, None], type=pa.int64()),
+                  "geometry": pa.array(
+                      [to_wkb(GT_POINT, np.array([0., 0.]))] * 2,
+                      type=pa.binary())})
+    with pytest.raises(ValueError, match="nulls"):
+        parse_wkb_batch(t)
+    with pytest.raises(ValueError, match="POLYGON"):
+        read_wkb_parquet(str(tmp_path), data_type="BOX")
+
+
+def test_wkb_driver_query_scratch_dir_reused(ray_session):
+    """Repeated poly_join_pairs_wkb invocations reuse ONE deterministic
+    scratch dir (no /tmp accumulation, no doubled parquet fragments)."""
+    import glob
+    import hashlib
+    import sys
+    import tempfile
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entry
+    sf = "/root/testdata/sf0.001"
+    tag = hashlib.sha1(sf.encode()).hexdigest()[:12]
+    scratch = f"{tempfile.gettempdir()}/hec_wkb_q_{tag}"
+    n1 = entry.queries()["poly_join_pairs_wkb"](sf).count()
+    files1 = sorted(glob.glob(f"{scratch}/*/*.parquet"))
+    n2 = entry.queries()["poly_join_pairs_wkb"](sf).count()
+    files2 = sorted(glob.glob(f"{scratch}/*/*.parquet"))
+    assert n1 == n2 > 0
+    assert len(files1) == len(files2) > 0
