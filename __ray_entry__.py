@@ -681,6 +681,33 @@ def _q_image_poly_join(sf_dir: str):
     return out.map_batches(check, batch_format="pyarrow")
 
 
+def _q_image_poly_anti(sf_dir: str):
+    """Spatial ANTI join (r5): the u01-geotagged images covered by NO
+    orders octagon — the existential complement of image_poly_join and
+    the curation filter of the north rule's 10^12-image story ("discard
+    images outside every region of interest").  Physical plan: the pair
+    join (only ids + geometry ride the shuffle) -> per-batch-deduped
+    matched ids -> reduce-side anti id-join; image rows never duplicate
+    by match multiplicity.  Bit-exact SQL twin: NOT IN over the same
+    edge-orientation hit CTE as image_poly_join."""
+    import pyarrow as pa
+    import ray.data as rd
+    from hecatoncheir_ray import spatial_join_semi
+
+    pts = rd.from_arrow(derive._points_table(
+        np.arange(500, dtype=np.int64)))
+    out = spatial_join_semi(pts, derive.ray_octagons_orders(sf_dir),
+                            "covered_by", _cfg(), anti=True,
+                            broadcast=False)
+
+    def fmt(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        return pa.table({"image_id": pa.array(
+            [f"img{i:08d}" for i in ids.tolist()])})
+
+    return out.map_batches(fmt, batch_format="pyarrow")
+
+
 def _q_image_phash_near_dups(sf_dir: str):
     """Perceptual near-dup image detection, end to end: decode bytes ->
     sampled-difference fingerprint (actor pool) -> banded hamming LSH
@@ -1234,6 +1261,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # through WKB parquet first (r5 binary ingest path; parity also
         # pinned by tests/test_wkb_reader.py)
         "poly_join_pairs_wkb": _q_poly_join_pairs_wkb,
+        # spatial ANTI join (r5): existential complement of the
+        # driver-checked image_poly_join — full SQL oracle (NOT IN over
+        # the same hit CTE); window overflow covered by the same-compare
+        # contract test + tests/test_semi_join.py parity suite
+        "image_poly_anti": _q_image_poly_anti,
     }
 
 
@@ -1526,6 +1558,7 @@ def oracle_sql() -> dict[str, str]:
         "hex_regions_points": _hex_regions_points_sql(),
         "image_tile_assignments": _image_tiles_sql(),
         "image_poly_join": _image_poly_join_sql(),
+        "image_poly_anti": _image_poly_anti_sql(),
         "poly_join_pairs": f"""
             WITH {_convex_pair_ctes(bo, derive.ORDERS_SALT,
                                     derive.sql_boxes_part_oct(),
@@ -1655,6 +1688,30 @@ def _image_poly_join_sql() -> str:
                 JOIN p ON p.k = c.k JOIN oe ON oe.id = c.id
                 GROUP BY c.k, c.id HAVING BOOL_AND(({inside}) > 0))
         SELECT printf('img%08d', k) AS image_id, id AS s_id FROM hit"""
+
+
+def _image_poly_anti_sql() -> str:
+    """Complement of _image_poly_join_sql: image ids with NO strict-inside
+    octagon (same generic-position hit CTE, NOT IN final select; hit.k is
+    never NULL so NOT IN is sound)."""
+    px, py = derive.points_sql("k")
+    ob = derive.sql_boxes_orders()
+    ov = derive.sql_octagon_vertices(ob, "id", derive.ORDERS_SALT)
+    inside = _orient("oe.sx", "oe.sy", "oe.ex", "oe.ey", "p.x", "p.y")
+    return f"""
+        WITH i AS (SELECT unnest(generate_series(0, 499)) AS k),
+        p AS (SELECT k, {px} AS x, {py} AS y FROM i),
+        ob AS ({ob}), ov AS ({ov}),
+        oe AS (SELECT a.id, a.x AS sx, a.y AS sy, b.x AS ex, b.y AS ey
+               FROM ov a JOIN ov b ON b.id = a.id AND b.i = (a.i % 8) + 1),
+        cand AS (SELECT p.k, b.id FROM p, ob b
+                 WHERE p.x >= b.minx AND p.x <= b.maxx
+                   AND p.y >= b.miny AND p.y <= b.maxy),
+        hit AS (SELECT c.k, c.id FROM cand c
+                JOIN p ON p.k = c.k JOIN oe ON oe.id = c.id
+                GROUP BY c.k, c.id HAVING BOOL_AND(({inside}) > 0))
+        SELECT printf('img%08d', k) AS image_id FROM i
+        WHERE k NOT IN (SELECT k FROM hit)"""
 
 
 def _image_tiles_sql() -> str:

@@ -15,11 +15,13 @@ from .pipelines.range_query import range_query
 from .pipelines.spatial_join import (attach_payload, compute_dataspace,
                                      detect_hot_cells, relation_histogram,
                                      spatial_join, spatial_join_auto,
-                                     spatial_join_broadcast)
+                                     spatial_join_broadcast,
+                                     spatial_join_semi)
 from .pipelines.tiling import tile_assignments, tile_counts, tile_cover
 
 __all__ = ["EngineConfig", "GridSpec", "TIGER_US_BOUNDS", "spatial_join",
            "spatial_join_auto", "spatial_join_broadcast",
+           "spatial_join_semi",
            "compute_dataspace", "detect_hot_cells", "attach_payload",
            "relation_histogram", "distance_join", "knn_query",
            "range_query", "tile_assignments", "tile_cover", "tile_counts"]

@@ -20,6 +20,7 @@ Scale levers:
 from __future__ import annotations
 
 import numpy as np
+import pyarrow as pa
 
 import ray.data
 from ray.data import Dataset
@@ -259,6 +260,41 @@ def spatial_join_auto(r: Dataset, s: Dataset,
         return spatial_join_broadcast(r, s, predicate, cfg,
                                       concurrency=concurrency)
     return spatial_join(r, s, predicate, cfg)
+
+
+def spatial_join_semi(r: Dataset, s: Dataset,
+                      predicate: str = "intersects",
+                      cfg: EngineConfig | None = None,
+                      anti: bool = False,
+                      broadcast: bool | str = "auto",
+                      num_parts: int = 256) -> Dataset:
+    """Spatial semi join (``anti=False``: rows of R with at least one S
+    match under ``predicate``) / anti join (``anti=True``: rows of R with
+    none).  Output schema == R's schema, one row per qualifying R row —
+    never duplicated by match multiplicity.
+
+    The existential form of the reference's predicate joins
+    (src/TwoLayer/ — which always emit pairs); the curation filter of the
+    north rule's 10^12-image use case ("keep only images inside / outside
+    the regions of interest") wants R rows back, not pairs.  Physical
+    plan: the pair join (plan picked by :func:`spatial_join_auto` from
+    S's size), matched ids deduplicated per batch, then a reduce-side id
+    semi/anti join (functions.idjoin.filter_by_ids — one hash shuffle,
+    searchsorted membership per partition).  R's payload columns never
+    ride the pair exchange: only (r_id) leaves the join; the id filter
+    ships R rows once.
+    """
+    pairs = spatial_join_auto(r, s, predicate, cfg, broadcast=broadcast)
+
+    def dedupe(t: pa.Table) -> pa.Table:
+        u = np.unique(t["r_id"].to_numpy(zero_copy_only=False))
+        return pa.table({"r_id": pa.array(u, type=pa.int64())})
+
+    matched = pairs.select_columns(["r_id"]).map_batches(
+        dedupe, batch_format="pyarrow")
+    from ..functions.idjoin import filter_by_ids
+    return filter_by_ids(r, "id", matched, "r_id", keep=not anti,
+                         num_parts=num_parts)
 
 
 def spatial_join_broadcast(r: Dataset, s: Dataset,

@@ -151,4 +151,8 @@ def test_query_priority_ordering(entrymod):
                                # same join + oracle as poly_join_pairs,
                                # layers roundtripped through WKB parquet
                                # (r5; parity in test_wkb_reader.py)
-                               "poly_join_pairs_wkb"}
+                               "poly_join_pairs_wkb",
+                               # full SQL oracle (NOT IN over the
+                               # image_poly_join hit CTE); semi/anti
+                               # parity in tests/test_semi_join.py
+                               "image_poly_anti"}
