@@ -61,6 +61,15 @@ def _neutral_arrow(n: int, typ: pa.DataType):
             or pa.types.is_boolean(typ):
         return pa.array(np.zeros(n, dtype=typ.to_pandas_dtype()),
                         type=typ)
+    if pa.types.is_list(typ) or pa.types.is_large_list(typ):
+        # n empty lists (geometry coords columns: keeps the big side on
+        # the zero-copy Arrow taggers instead of the pandas fallback)
+        large = pa.types.is_large_list(typ)
+        offsets = pa.array(np.zeros(n + 1,
+                                    dtype=np.int64 if large else np.int32))
+        values = pa.array([], type=typ.value_type)
+        cls = pa.LargeListArray if large else pa.ListArray
+        return cls.from_arrays(offsets, values)
     return None
 
 
