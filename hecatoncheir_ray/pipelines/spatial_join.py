@@ -284,6 +284,12 @@ def spatial_join_semi(r: Dataset, s: Dataset,
     ride the pair exchange: only (r_id) leaves the join; the id filter
     ships R rows once.
     """
+    if predicate == "find_relation":
+        # find_relation emits one row per candidate pair WHATEVER the
+        # relation (including disjoint) — existentially meaningless;
+        # filter on a concrete predicate instead
+        raise ValueError("spatial_join_semi needs a boolean predicate, "
+                         "not find_relation")
     pairs = spatial_join_auto(r, s, predicate, cfg, broadcast=broadcast)
 
     def dedupe(t: pa.Table) -> pa.Table:

@@ -104,3 +104,12 @@ def test_anti_empty_s_keeps_all(ray_session):
                             broadcast=True)
     assert sorted(row["id"] for row in out.take_all()) \
         == sorted(tp["id"].to_pylist())
+
+
+def test_semi_rejects_find_relation(ray_session):
+    tp = table_layer("points", 10, seed=51, bounds=BOUNDS)
+    ts = table_layer("boxes", 5, seed=52, bounds=BOUNDS,
+                     min_edge=2.0, max_edge=8.0)
+    with pytest.raises(ValueError, match="find_relation"):
+        spatial_join_semi(rd.from_arrow(tp), rd.from_arrow(ts),
+                          "find_relation", _cfg())
