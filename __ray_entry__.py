@@ -708,6 +708,35 @@ def _q_image_poly_anti(sf_dir: str):
     return out.map_batches(fmt, batch_format="pyarrow")
 
 
+def _q_image_region_counts(sf_dir: str):
+    """Join-cardinality analytic (r5): how many orders octagons cover
+    each geotagged image (covered images only — an inner count).  The
+    grouped-aggregate face of the same join image_poly_join /
+    image_poly_anti bit-verify pairwise/existentially: pairs ->
+    hash_group_reduce count per image id (one hash shuffle, C-speed
+    per-partition reduce — never Ray's per-group aggregate)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from hecatoncheir_ray import spatial_join
+    from hecatoncheir_ray.functions.idjoin import hash_group_reduce
+
+    pts = rd.from_arrow(derive._points_table(
+        np.arange(500, dtype=np.int64)))
+    pairs = spatial_join(pts, derive.ray_octagons_orders(sf_dir),
+                         "covered_by", _cfg())
+    counts = hash_group_reduce(pairs.select_columns(["r_id"]), ["r_id"],
+                               {"n": ("r_id", "count")}, num_parts=64)
+
+    def fmt(t: pa.Table) -> pa.Table:
+        ids = t["r_id"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"image_id": pa.array(
+            [f"img{i:08d}" for i in ids.tolist()]),
+            "n": pa.array(n, type=pa.int64())})
+
+    return counts.map_batches(fmt, batch_format="pyarrow")
+
+
 def _q_image_phash_near_dups(sf_dir: str):
     """Perceptual near-dup image detection, end to end: decode bytes ->
     sampled-difference fingerprint (actor pool) -> banded hamming LSH
@@ -1266,6 +1295,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the same hit CTE); window overflow covered by the same-compare
         # contract test + tests/test_semi_join.py parity suite
         "image_poly_anti": _q_image_poly_anti,
+        # grouped-count face of the image/region join (r5): full SQL
+        # oracle (GROUP BY over the image_poly_join hit CTE); same
+        # join kernel the in-window image_poly_join row bit-verifies
+        "image_region_counts": _q_image_region_counts,
     }
 
 
@@ -1559,6 +1592,7 @@ def oracle_sql() -> dict[str, str]:
         "image_tile_assignments": _image_tiles_sql(),
         "image_poly_join": _image_poly_join_sql(),
         "image_poly_anti": _image_poly_anti_sql(),
+        "image_region_counts": _image_region_counts_sql(),
         "poly_join_pairs": f"""
             WITH {_convex_pair_ctes(bo, derive.ORDERS_SALT,
                                     derive.sql_boxes_part_oct(),
@@ -1712,6 +1746,29 @@ def _image_poly_anti_sql() -> str:
                 GROUP BY c.k, c.id HAVING BOOL_AND(({inside}) > 0))
         SELECT printf('img%08d', k) AS image_id FROM i
         WHERE k NOT IN (SELECT k FROM hit)"""
+
+
+def _image_region_counts_sql() -> str:
+    """Covering-octagon count per image: GROUP BY over the same hit CTE
+    as _image_poly_join_sql (hit has one row per (image, octagon))."""
+    px, py = derive.points_sql("k")
+    ob = derive.sql_boxes_orders()
+    ov = derive.sql_octagon_vertices(ob, "id", derive.ORDERS_SALT)
+    inside = _orient("oe.sx", "oe.sy", "oe.ex", "oe.ey", "p.x", "p.y")
+    return f"""
+        WITH i AS (SELECT unnest(generate_series(0, 499)) AS k),
+        p AS (SELECT k, {px} AS x, {py} AS y FROM i),
+        ob AS ({ob}), ov AS ({ov}),
+        oe AS (SELECT a.id, a.x AS sx, a.y AS sy, b.x AS ex, b.y AS ey
+               FROM ov a JOIN ov b ON b.id = a.id AND b.i = (a.i % 8) + 1),
+        cand AS (SELECT p.k, b.id FROM p, ob b
+                 WHERE p.x >= b.minx AND p.x <= b.maxx
+                   AND p.y >= b.miny AND p.y <= b.maxy),
+        hit AS (SELECT c.k, c.id FROM cand c
+                JOIN p ON p.k = c.k JOIN oe ON oe.id = c.id
+                GROUP BY c.k, c.id HAVING BOOL_AND(({inside}) > 0))
+        SELECT printf('img%08d', k) AS image_id, COUNT(*) AS n
+        FROM hit GROUP BY k"""
 
 
 def _image_tiles_sql() -> str:

@@ -155,4 +155,8 @@ def test_query_priority_ordering(entrymod):
                                # full SQL oracle (NOT IN over the
                                # image_poly_join hit CTE); semi/anti
                                # parity in tests/test_semi_join.py
-                               "image_poly_anti"}
+                               "image_poly_anti",
+                               # full SQL oracle (GROUP BY over the
+                               # same hit CTE); same join kernel as the
+                               # in-window image_poly_join row
+                               "image_region_counts"}
