@@ -125,3 +125,41 @@ def test_mbr_case_antisymmetry(a, b):
         assert c2 in (MBR_S_IN_R, MBR_R_IN_S)   # ties keep block order
     elif c1 == MBR_S_IN_R:
         assert c2 in (MBR_R_IN_S, MBR_S_IN_R)
+
+
+# --- hex index (pipelines/hexgrid.py) ---------------------------------------
+
+@settings(max_examples=300, deadline=None)
+@given(st.floats(-100.0, 100.0, allow_nan=False, allow_infinity=False),
+       st.floats(-100.0, 100.0, allow_nan=False, allow_infinity=False),
+       st.sampled_from([0.05, 0.37, 0.5, 2.0]))
+def test_hex_nearest_center_property(x, y, size):
+    """Cube rounding assigns every point to the hex whose center is at
+    least as close as any of the 6 neighbors (hex Voronoi property) and
+    within the circumradius — for arbitrary floats, not just the seeded
+    sweep (hypothesis shrinks boundary/tie cases)."""
+    import numpy as np
+    from hecatoncheir_ray.pipelines.hexgrid import hex_axial, hex_center
+    xa, ya = np.array([x]), np.array([y])
+    q, r = hex_axial(xa, ya, size)
+    cx, cy = hex_center(q, r, size)
+    d0 = float(np.hypot(xa - cx, ya - cy)[0])
+    tol = 1e-9 * max(1.0, abs(x), abs(y))
+    assert d0 <= size + tol
+    for dq, dr in [(1, 0), (1, -1), (0, -1), (-1, 0), (-1, 1), (0, 1)]:
+        nx, ny = hex_center(q + dq, r + dr, size)
+        assert d0 <= float(np.hypot(xa - nx, ya - ny)[0]) + tol
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(-(1 << 20) + 1, (1 << 20) - 1),
+       st.integers(-(1 << 20) + 1, (1 << 20) - 1))
+def test_hex_id_packing_bijective(q, r):
+    """hex_id packs (q, r) into one int64 without collision across the
+    whole supported axial range (20 bits + sign per axis)."""
+    import numpy as np
+    from hecatoncheir_ray.pipelines.hexgrid import hex_id
+    h = int(hex_id(np.array([q]), np.array([r]))[0])
+    span = 1 << 21
+    assert h // span - (1 << 20) == q
+    assert h % span - (1 << 20) == r
